@@ -1,0 +1,198 @@
+"""Schur-complement assembly: M_ij = sum_cones tr(A_i S^-1 A_j S^-1).
+
+TPU-first replacement for the reference's per-row M1-M5 strategy kernels
+(ref interface/hdsdp_conic_sdp.c:687-985 and the per-type KKT routines of
+linalg/hdsdp_sdpdata.c): constraints are bucketed at presolve into
+
+  low-rank:  A_i = sum_k lam_k u_k u_k^T   (factors F, weights lam, seg ids)
+  dense:     A_i stored as full [n, n]
+
+and each IPM iteration computes, per block group (batched over g blocks):
+
+  W  = F U F^T                  (U = S^-1)           -> two batched matmuls
+  M += E^T ((lam lam^T) .* W^2) E                    -> MXU + scatter-add
+  B  = U A_d U                  (dense bucket)       -> batched congruence
+  M += <A_d, B> and low-rank x dense cross terms
+
+which generalizes M2 (rank-one quadforms, hdsdp_conic_sdp.c:687-778) and
+M3/M5 (congruence + traces, :780-985) to one data layout.  The RHS vectors
+  ASinv_i       = tr(A_i S^-1)
+  ASinvRdSinv_i = Rd * tr(S^-1 A_i S^-1)
+  ASinvCSinv_i  = tr(C S^-1 A_i S^-1)        (homogeneous method only)
+and HSD scalars CSinv / CSinvCSinv / CSinvRdSinv / TraceSinv are fused into
+the same pass, exactly as the reference fuses them into its KKT build.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class GroupArrays(NamedTuple):
+    """Device-side arrays of one same-dimension SDP block group."""
+
+    C: jnp.ndarray  # [g, n, n]
+    F: jnp.ndarray  # [g, R, n]
+    lam: jnp.ndarray  # [g, R]
+    seg: jnp.ndarray  # [g, R] int32
+    Ad: jnp.ndarray  # [md, n, n]
+    didx: jnp.ndarray  # [md] int32
+    dblk: jnp.ndarray  # [md] int32
+
+
+class SchurOut(NamedTuple):
+    M: Optional[jnp.ndarray]  # [m, m] contribution (None for rhs-only)
+    asinv: jnp.ndarray  # [m]   tr(A_i S^-1)
+    trSAS: jnp.ndarray  # [m]   tr(S^-1 A_i S^-1)  (caller multiplies by Rd)
+    trU: jnp.ndarray  # []    tr(S^-1)
+
+
+class HSDOut(NamedTuple):
+    asinvcsinv: jnp.ndarray  # [m] tr(C S^-1 A_i S^-1)
+    csinv: jnp.ndarray  # []
+    csinvcsinv: jnp.ndarray  # []
+    trUCU: jnp.ndarray  # []  tr(S^-1 C S^-1) (caller multiplies by Rd)
+
+
+def group_dual(ga: GroupArrays, dC, scal, y, dEye) -> jnp.ndarray:
+    """Buffer assembly B = dEye*I + scal*(A'y) + dC*C, batched [g,n,n].
+
+    Mirrors sdpDenseConeIUpdateBuffer (ref hdsdp_conic_sdp.c:343-402); the
+    per-cone perturbation is folded into dEye by the caller.
+    """
+    g, R, n = ga.F.shape
+    w = ga.lam * y[ga.seg]  # [g, R]
+    W = jnp.einsum("grn,gr,grm->gnm", ga.F, w, ga.F, optimize=True)
+    if ga.Ad.shape[0]:
+        Wd = jax.ops.segment_sum(
+            ga.Ad * y[ga.didx][:, None, None], ga.dblk, num_segments=g
+        )
+        W = W + Wd
+    eye = jnp.eye(n, dtype=W.dtype)
+    return scal * W + dC * ga.C + dEye * eye
+
+
+def _quadforms(F: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
+    """q_r = F_r T F_r^T diagonal: [.., R] of u_r^T T u_r."""
+    return jnp.einsum("...rn,...nm,...rm->...r", F, T, F, optimize=True)
+
+
+def group_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool = True) -> SchurOut:
+    """Schur contribution of one group given U = S^-1 [g,n,n]."""
+
+    g, R, n = ga.F.shape
+    md = ga.Ad.shape[0]
+
+    FU = jnp.einsum("grn,gnm->grm", ga.F, U, optimize=True)  # [g,R,n]
+
+    asinv = jnp.zeros((m,), U.dtype)
+    trsas = jnp.zeros((m,), U.dtype)
+
+    t_asinv = ga.lam * jnp.sum(FU * ga.F, axis=-1)  # lam * u'Uu
+    t_trsas = ga.lam * jnp.sum(FU * FU, axis=-1)  # lam * ||Uu||^2
+    asinv = asinv.at[ga.seg].add(t_asinv)
+    trsas = trsas.at[ga.seg].add(t_trsas)
+
+    trU = jnp.trace(U, axis1=-2, axis2=-1).sum()
+
+    M = None
+    B = None
+    if md:
+        Ub = U[ga.dblk]  # [md,n,n]
+        B = jnp.einsum("ipq,iqr,irs->ips", Ub, ga.Ad, Ub, optimize=True)
+        asinv = asinv.at[ga.didx].add(jnp.sum(ga.Ad * Ub, axis=(-1, -2)))
+        trsas = trsas.at[ga.didx].add(jnp.trace(B, axis1=-2, axis2=-1))
+
+    if with_m:
+        W = jnp.einsum("grn,gsn->grs", FU, ga.F, optimize=True)  # F U F^T
+        Q = (ga.lam[:, :, None] * ga.lam[:, None, :]) * (W * W)
+        M = jnp.zeros((m, m), U.dtype)
+        M = M.at[ga.seg[:, :, None], ga.seg[:, None, :]].add(Q)
+
+        if md:
+            # dense x dense within the same block
+            same = (ga.dblk[:, None] == ga.dblk[None, :]).astype(U.dtype)
+            Mdd = jnp.einsum("ipq,jpq->ij", B, ga.Ad, optimize=True) * same
+            M = M.at[ga.didx[:, None], ga.didx[None, :]].add(Mdd)
+            # dense x low-rank cross: lam_r * u_r^T B_i u_r, same block
+            Fb = ga.F[ga.dblk]  # [md,R,n]
+            lamb = ga.lam[ga.dblk]  # [md,R]
+            cross = lamb * _quadforms(Fb, B)  # [md,R]
+            segb = ga.seg[ga.dblk]  # [md,R]
+            M = M.at[ga.didx[:, None], segb].add(cross)
+            M = M.at[segb, ga.didx[:, None]].add(cross)
+
+    return SchurOut(M=M, asinv=asinv, trSAS=trsas, trU=trU)
+
+
+def group_hsd(ga: GroupArrays, U: jnp.ndarray, m: int) -> HSDOut:
+    """Self-dual embedding components (ref sdpDenseConeIGetHSDComponents,
+    hdsdp_conic_sdp.c:987-1033), via the dense-C M3 path."""
+
+    T = jnp.einsum("gpq,gqr,grs->gps", U, ga.C, U, optimize=True)  # U C U
+    csinv = jnp.sum(ga.C * U)
+    csinvcsinv = jnp.sum(ga.C * T)
+    trUCU = jnp.trace(T, axis1=-2, axis2=-1).sum()
+
+    asinvcsinv = jnp.zeros((m,), U.dtype)
+    q = ga.lam * _quadforms(ga.F, T)
+    asinvcsinv = asinvcsinv.at[ga.seg].add(q)
+    if ga.Ad.shape[0]:
+        Tb = T[ga.dblk]
+        asinvcsinv = asinvcsinv.at[ga.didx].add(jnp.sum(ga.Ad * Tb, axis=(-1, -2)))
+
+    return HSDOut(
+        asinvcsinv=asinvcsinv, csinv=csinv, csinvcsinv=csinvcsinv, trUCU=trUCU
+    )
+
+
+def group_atx(ga: GroupArrays, X: jnp.ndarray, m: int) -> jnp.ndarray:
+    """A(X): per-constraint traces <A_i, X_blk> given X [g,n,n]."""
+    out = jnp.zeros((m,), X.dtype)
+    FX = jnp.einsum("grn,gnm->grm", ga.F, X, optimize=True)
+    out = out.at[ga.seg].add(ga.lam * jnp.sum(FX * ga.F, axis=-1))
+    if ga.Ad.shape[0]:
+        Xb = X[ga.dblk]
+        out = out.at[ga.didx].add(jnp.sum(ga.Ad * Xb, axis=(-1, -2)))
+    return out
+
+
+# ----------------------------------------------------------------------
+# LP cone contributions (ref interface/hdsdp_conic_lp.c:254-330)
+# ----------------------------------------------------------------------
+
+
+class LPArrays(NamedTuple):
+    A: jnp.ndarray  # [m, nlp]
+    c: jnp.ndarray  # [nlp]
+
+
+def lp_dual(lp: LPArrays, dC, scal, y, dEye) -> jnp.ndarray:
+    """s = dEye*1 + scal*(A'y) + dC*c."""
+    return dEye + scal * (y @ lp.A) + dC * lp.c
+
+
+def lp_schur(lp: LPArrays, s: jnp.ndarray, m: int, with_m: bool = True) -> SchurOut:
+    si = 1.0 / s
+    asinv = lp.A @ si
+    trsas = lp.A @ (si * si)
+    M = None
+    if with_m:
+        M = jnp.einsum("ij,j,kj->ik", lp.A, si * si, lp.A, optimize=True)
+    return SchurOut(M=M, asinv=asinv, trSAS=trsas, trU=jnp.sum(si))
+
+
+def lp_hsd(lp: LPArrays, s: jnp.ndarray, m: int) -> HSDOut:
+    si = 1.0 / s
+    csi = lp.c * si
+    # NOTE: the reference omits the LP CSinvRdSinv term
+    # (ref hdsdp_conic_lp.c:315-327); we reproduce that behavior.
+    return HSDOut(
+        asinvcsinv=lp.A @ (lp.c * si * si),
+        csinv=jnp.sum(csi),
+        csinvcsinv=jnp.sum(csi * csi),
+        trUCU=jnp.zeros((), s.dtype),
+    )

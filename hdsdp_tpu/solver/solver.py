@@ -1,11 +1,92 @@
-"""Top-level solver driver (filled in by hdsdp_tpu.solver.algo)."""
+"""Top-level solver API (ref interface/hdsdp.h:108-120: HDSDPCreate /
+SetCone / SetDualObjective / Optimize / GetRowDual / CheckSolution)."""
 
 from __future__ import annotations
 
+import time
+from dataclasses import dataclass, field
+from typing import Optional
 
-class HDSDPSolver:  # placeholder until solver.algo lands
-    pass
+import numpy as np
+
+from hdsdp_tpu.io.sdpa import read_sdpa
+from hdsdp_tpu.models.problem import SDPProblem
+from hdsdp_tpu.solver import algo, dimacs
+from hdsdp_tpu.solver.params import Params
 
 
-def solve_sdpa_file(path: str, **kwargs):
-    raise NotImplementedError
+@dataclass
+class Result:
+    status: str
+    p_obj: float
+    d_obj: float
+    gap: float
+    y: np.ndarray
+    dimacs: np.ndarray
+    n_iters: int
+    solve_time: float
+    stats: dict = field(default_factory=dict)
+
+    def __repr__(self):
+        return (
+            f"Result(status={self.status}, pObj={self.p_obj:+.10e}, "
+            f"dObj={self.d_obj:+.10e}, iters={self.n_iters}, "
+            f"time={self.solve_time:.2f}s)"
+        )
+
+
+class HDSDPSolver:
+    """Drives presolve -> 3-phase IPM -> DIMACS check (ref HDSDPOptimize,
+    interface/hdsdp.c:647-719)."""
+
+    def __init__(self, prob: SDPProblem, **param_overrides):
+        self.prob = prob
+        self.params = Params(**param_overrides)
+        self.ipm: Optional[algo.DualIPM] = None
+
+    def optimize(self, d_only: bool = False) -> Result:
+        t0 = time.time()
+        ipm = algo.DualIPM(self.prob, self.params)
+        self.ipm = ipm
+        if self.params.verbose:
+            print("\nhdsdp_tpu: TPU-native semidefinite programming solver\n")
+            if self.params.model_notes:
+                print(ipm.params.model_notes)
+
+        ipm.solve(d_only=d_only)
+
+        errs = np.ones(6)
+        if ipm.status not in (
+            algo.INFEAS_OR_UNBOUNDED,
+            algo.SUSPECT_INFEAS_OR_UNBOUNDED,
+        ):
+            errs = dimacs.check_solution(ipm)
+
+        if self.params.verbose:
+            print(
+                "DIMACS error metric:\n    "
+                + " ".join(f"{e:5.2e}" for e in errs)
+            )
+            print(f"\nSDP Status: {ipm.status}")
+            print(f"  pObj {ipm.p_obj_val:+15.10e}")
+            print(f"  dObj {ipm.d_obj_val:+15.10e}")
+            print(f"  Time {time.time() - t0:3.1f} seconds\n")
+
+        return Result(
+            status=ipm.status,
+            p_obj=ipm.p_obj_val,
+            d_obj=ipm.d_obj_val,
+            gap=ipm.p_obj_val - ipm.d_obj_val,
+            y=np.asarray(ipm.y),
+            dimacs=errs,
+            n_iters=ipm.n_iter,
+            solve_time=time.time() - t0,
+            stats=dict(ipm._factor_stats),
+        )
+
+
+def solve_sdpa_file(path: str, d_only: bool = False, **param_overrides) -> Result:
+    data = read_sdpa(path)
+    prob = SDPProblem.from_sdpa(data)
+    solver = HDSDPSolver(prob, **param_overrides)
+    return solver.optimize(d_only=d_only)

@@ -1,0 +1,129 @@
+"""Schur assembly cross-validation (analogue of HUtilKKTCheck,
+ref interface/hdsdp_utils.c:536-707): the bucketed assembly must match a
+naive dense einsum reference elementwise."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hdsdp_tpu.io.sdpa import read_sdpa
+from hdsdp_tpu.models.problem import SDPProblem
+from hdsdp_tpu.solver.cones import ConeSystem
+
+
+def dense_constraints(data, blk_idx):
+    """Full [m+1, n, n] dense coefficient stack from raw COO (index 0 = C)."""
+    blk = data.blocks[blk_idx]
+    n = blk.dim
+    A = np.zeros((data.m + 1, n, n))
+    np.add.at(A, (blk.con, blk.row, blk.col), blk.val)
+    At = np.transpose(A, (0, 2, 1))
+    mask = np.triu(np.ones((n, n)), 1)  # mirror lower entries into the upper tri
+    return A + At * mask
+
+
+def naive_kkt(A_all, C, U, Rd):
+    """Reference M3-style dense computation for one block."""
+    m = A_all.shape[0] - 1
+    A = A_all[1:]
+    B = np.einsum("pq,iqr,rs->ips", U, A, U)
+    M = np.einsum("ipq,jpq->ij", B, A)
+    asinv = np.einsum("ipq,pq->i", A, U)
+    asinvrdsinv = Rd * np.trace(B, axis1=1, axis2=2)
+    asinvcsinv = np.einsum("ipq,pq->i", B, C)
+    T = U @ C @ U
+    csinv = np.sum(C * U)
+    csinvcsinv = np.sum(C * T)
+    csinvrdsinv = Rd * np.trace(T)
+    return M, asinv, asinvrdsinv, asinvcsinv, csinv, csinvcsinv, csinvrdsinv
+
+
+@pytest.mark.parametrize("fname", ["mcp100.dat-s", "theta1.dat-s", "truss1.dat-s", "gpp100.dat-s"])
+def test_kkt_cross_validation(examples_dir, fname):
+    data = read_sdpa(f"{examples_dir}/{fname}")
+    prob = SDPProblem.from_sdpa(data)
+    cones = ConeSystem(prob)
+
+    rng = np.random.default_rng(42)
+    m = prob.m
+    y = rng.normal(size=m) * 0.01
+    Rd = -1.7
+
+    # current duals S = -Rd - A'y + C (must be PD: use large positive shift)
+    shift = -Rd + 10.0 + prob.features.obj_fro_norm
+    S, s_lp = cones.assemble(1.0, -1.0, jnp.asarray(y), shift)
+    ok, L = cones.factor(S, s_lp)
+    assert bool(ok)
+
+    kkt = cones.build_kkt(L, s_lp, Rd, "hsd")
+
+    # naive reference: accumulate per block
+    M_ref = np.zeros((m, m))
+    asinv_ref = np.zeros(m)
+    rd_ref = np.zeros(m)
+    acs_ref = np.zeros(m)
+    csinv_ref = csc_ref = crd_ref = 0.0
+    trace_ref = 0.0
+
+    # map original block index -> (group, slot)
+    for gi, grp in enumerate(prob.groups):
+        for slot, ib in enumerate(grp.block_ids):
+            A_all = dense_constraints(data, ib)
+            C = A_all[0]
+            n = grp.dim
+            Sg = np.asarray(S[gi][slot])
+            # verify assembly itself
+            S_naive = -np.einsum("i,ipq->pq", y, A_all[1:]) + C + shift * np.eye(n)
+            np.testing.assert_allclose(Sg, S_naive, atol=1e-10)
+            U = np.linalg.inv(Sg)
+            Mb, ab, rb, acb, cs, cc, crd = naive_kkt(A_all, C, U, Rd)
+            M_ref += Mb
+            asinv_ref += ab
+            rd_ref += rb
+            acs_ref += acb
+            csinv_ref += cs
+            csc_ref += cc
+            crd_ref += crd
+            trace_ref += np.trace(U)
+
+    scale = max(1.0, np.max(np.abs(M_ref)))
+    np.testing.assert_allclose(np.asarray(kkt.M), M_ref, atol=1e-8 * scale)
+    np.testing.assert_allclose(np.asarray(kkt.asinv), asinv_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(kkt.asinvrdsinv), rd_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(kkt.asinvcsinv), acs_ref, atol=1e-8)
+    assert abs(float(kkt.csinv) - csinv_ref) < 1e-8 * max(1, abs(csinv_ref))
+    assert abs(float(kkt.csinvcsinv) - csc_ref) < 1e-8 * max(1, abs(csc_ref))
+    assert abs(float(kkt.csinvrdsinv) - crd_ref) < 1e-8 * max(1, abs(crd_ref))
+    assert abs(float(kkt.trace_sinv) - trace_ref) < 1e-8 * max(1, trace_ref)
+
+    # corrector build must agree on the RHS vectors
+    kkt_corr = cones.build_kkt(L, s_lp, Rd, "corr")
+    np.testing.assert_allclose(np.asarray(kkt_corr.asinv), asinv_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(kkt_corr.asinvrdsinv), rd_ref, atol=1e-8)
+
+
+def test_ratio_test_exact(examples_dir):
+    data = read_sdpa(f"{examples_dir}/theta1.dat-s")
+    prob = SDPProblem.from_sdpa(data)
+    cones = ConeSystem(prob)
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.normal(size=prob.m) * 0.01)
+    dy = jnp.asarray(rng.normal(size=prob.m) * 0.1)
+
+    S, s_lp = cones.assemble(1.0, -1.0, y, 12.0 + prob.features.obj_fro_norm)
+    ok, L = cones.factor(S, s_lp)
+    assert bool(ok)
+    dS, ds_lp = cones.assemble(0.0, -1.0, dy, 0.0)
+    step = float(cones.ratio_test(L, s_lp, dS, ds_lp))
+
+    # brute force: smallest positive alpha with S + alpha dS singular
+    Sg = np.asarray(S[0][0])
+    dSg = np.asarray(dS[0][0])
+    w = np.linalg.eigvalsh(
+        np.linalg.solve(np.linalg.cholesky(Sg), dSg)
+        @ np.linalg.inv(np.linalg.cholesky(Sg)).T
+    )
+    lam_min = w.min()
+    expected = -1.0 / lam_min if lam_min < 0 else np.inf
+    assert step == pytest.approx(expected, rel=1e-8)
