@@ -1,0 +1,309 @@
+"""Row-sharded Schur-complement assembly over a device mesh.
+
+The per-iteration hot loop (SURVEY.md section 3.2) is
+
+    M_ij = sum_cones tr(A_i S^-1 A_j S^-1),   plus fused RHS vectors,
+
+with cost O(g R^2 n + g R n^2 + md n^3) per block group.  Here the
+coefficient-slot axes (low-rank rows R, dense slots md) are partitioned
+over the mesh axis ``"row"``: each device contracts its slice of
+constraint slots against the full (replicated, iteration-invariant)
+coefficient arrays and scatter-adds into a local m x m partial of M, and
+one ``psum`` per output combines the partials over ICI.  This is the
+TPU-native replacement for the reference's per-row M1-M5 strategy loop
+(ref interface/hdsdp_conic_sdp.c:1770-1804), which is inherently serial.
+
+Per-device Cholesky of the (small) cone blocks is replicated; the m x m
+Schur factorization stays replicated below the CG crossover (see
+hdsdp_tpu.parallel.cg for the row-sharded iterative path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hdsdp_tpu.models.problem import SDPProblem
+from hdsdp_tpu.ops import chol as chol_ops
+from hdsdp_tpu.ops.schur import GroupArrays, LPArrays
+from hdsdp_tpu.parallel.mesh import ROW_AXIS
+from hdsdp_tpu.solver.cones import ConeSystem, KKTOut
+
+
+def _pad_axis(a: np.ndarray, axis: int, target: int) -> np.ndarray:
+    pad = target - a.shape[axis]
+    if pad <= 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return np.pad(a, widths)
+
+
+def pad_group(ga: GroupArrays, ndev: int) -> GroupArrays:
+    """Pad the R and md axes to multiples of ndev (zero weight = no-op rows)."""
+    R = ga.F.shape[1]
+    Rp = max(-(-R // ndev) * ndev, ndev)
+    md = ga.Ad.shape[0]
+    mdp = -(-md // ndev) * ndev if md else 0
+    return GroupArrays(
+        C=ga.C,
+        F=jnp.asarray(_pad_axis(np.asarray(ga.F), 1, Rp)),
+        lam=jnp.asarray(_pad_axis(np.asarray(ga.lam), 1, Rp)),
+        seg=jnp.asarray(_pad_axis(np.asarray(ga.seg), 1, Rp)),
+        Ad=jnp.asarray(_pad_axis(np.asarray(ga.Ad), 0, mdp)),
+        didx=jnp.asarray(_pad_axis(np.asarray(ga.didx), 0, mdp)),
+        dblk=jnp.asarray(_pad_axis(np.asarray(ga.dblk), 0, mdp)),
+    )
+
+
+def _slice1(a, idx, size, axis):
+    return jax.lax.dynamic_slice_in_dim(a, idx * size, size, axis)
+
+
+# ----------------------------------------------------------------------
+# per-device partial kernels
+# ----------------------------------------------------------------------
+
+
+def _group_dual_part(ga: GroupArrays, idx, ndev: int, scal, y):
+    """Device-local partial of scal * A'y for one group, [g, n, n]."""
+    g, R, n = ga.F.shape
+    Rloc = R // ndev
+    F = _slice1(ga.F, idx, Rloc, 1)
+    lam = _slice1(ga.lam, idx, Rloc, 1)
+    seg = _slice1(ga.seg, idx, Rloc, 1)
+    w = lam * y[seg]
+    W = jnp.einsum("grn,gr,grm->gnm", F, w, F, optimize=True)
+    md = ga.Ad.shape[0]
+    if md:
+        mdloc = md // ndev
+        Ad = _slice1(ga.Ad, idx, mdloc, 0)
+        didx = _slice1(ga.didx, idx, mdloc, 0)
+        dblk = _slice1(ga.dblk, idx, mdloc, 0)
+        W = W + jax.ops.segment_sum(
+            Ad * y[didx][:, None, None], dblk, num_segments=g
+        )
+    return scal * W
+
+
+def _group_schur_part(ga: GroupArrays, U, m: int, idx, ndev: int, with_m: bool):
+    """Device-local partials (M, asinv, trSAS) of one group given U = S^-1."""
+    g, R, n = ga.F.shape
+    Rloc = R // ndev
+    F = _slice1(ga.F, idx, Rloc, 1)
+    lam = _slice1(ga.lam, idx, Rloc, 1)
+    seg = _slice1(ga.seg, idx, Rloc, 1)
+
+    FU = jnp.einsum("grn,gnm->grm", F, U, optimize=True)  # [g, Rloc, n]
+    asinv = jnp.zeros((m,), U.dtype)
+    trsas = jnp.zeros((m,), U.dtype)
+    asinv = asinv.at[seg].add(lam * jnp.sum(FU * F, axis=-1))
+    trsas = trsas.at[seg].add(lam * jnp.sum(FU * FU, axis=-1))
+
+    M = jnp.zeros((m, m), U.dtype) if with_m else None
+    if with_m:
+        # local rows x all columns of the low-rank Gram: covers every
+        # ordered pair exactly once after psum (its transpose partner is
+        # produced by the device owning the other row).
+        W = jnp.einsum("grn,gsn->grs", FU, ga.F, optimize=True)  # [g,Rloc,R]
+        Q = (lam[:, :, None] * ga.lam[:, None, :]) * (W * W)
+        M = M.at[seg[:, :, None], ga.seg[:, None, :]].add(Q)
+
+    md = ga.Ad.shape[0]
+    if md:
+        mdloc = md // ndev
+        Ad = _slice1(ga.Ad, idx, mdloc, 0)
+        didx = _slice1(ga.didx, idx, mdloc, 0)
+        dblk = _slice1(ga.dblk, idx, mdloc, 0)
+        Ub = U[dblk]
+        B = jnp.einsum("ipq,iqr,irs->ips", Ub, Ad, Ub, optimize=True)
+        asinv = asinv.at[didx].add(jnp.sum(Ad * Ub, axis=(-1, -2)))
+        trsas = trsas.at[didx].add(jnp.trace(B, axis1=-2, axis2=-1))
+        if with_m:
+            same = (dblk[:, None] == ga.dblk[None, :]).astype(U.dtype)
+            Mdd = jnp.einsum("ipq,jpq->ij", B, ga.Ad, optimize=True) * same
+            M = M.at[didx[:, None], ga.didx[None, :]].add(Mdd)
+            # dense x low-rank cross terms, both orientations, from the
+            # device that owns the dense slot
+            Fb = ga.F[dblk]  # [mdloc, R, n]
+            lamb = ga.lam[dblk]
+            cross = lamb * jnp.einsum(
+                "irn,inm,irm->ir", Fb, B, Fb, optimize=True
+            )
+            segb = ga.seg[dblk]
+            M = M.at[didx[:, None], segb].add(cross)
+            M = M.at[segb, didx[:, None]].add(cross)
+
+    return M, asinv, trsas
+
+
+def _group_hsd_part(ga: GroupArrays, U, T, m: int, idx, ndev: int):
+    """Device-local partial of ASinvCSinv given T = U C U (replicated)."""
+    g, R, n = ga.F.shape
+    Rloc = R // ndev
+    F = _slice1(ga.F, idx, Rloc, 1)
+    lam = _slice1(ga.lam, idx, Rloc, 1)
+    seg = _slice1(ga.seg, idx, Rloc, 1)
+    out = jnp.zeros((m,), U.dtype)
+    q = lam * jnp.einsum("grn,gnm,grm->gr", F, T, F, optimize=True)
+    out = out.at[seg].add(q)
+    md = ga.Ad.shape[0]
+    if md:
+        mdloc = md // ndev
+        Ad = _slice1(ga.Ad, idx, mdloc, 0)
+        didx = _slice1(ga.didx, idx, mdloc, 0)
+        dblk = _slice1(ga.dblk, idx, mdloc, 0)
+        out = out.at[didx].add(jnp.sum(Ad * T[dblk], axis=(-1, -2)))
+    return out
+
+
+# ----------------------------------------------------------------------
+# sharded cone system
+# ----------------------------------------------------------------------
+
+
+class ShardedConeSystem(ConeSystem):
+    """ConeSystem whose assembly / KKT build are row-sharded over a mesh.
+
+    Everything the outer IPM touches keeps the same interface; only the
+    two hot entry points (``assemble`` and ``build_kkt``) are replaced by
+    shard_map'ped versions.  Factors, ratio tests and barrier values are
+    computed replicated: they are O(g n^3) against the O(m R n^2 + m^2 R)
+    assembly and their inputs are already replicated on the mesh.
+    """
+
+    def __init__(
+        self,
+        prob: SDPProblem,
+        mesh: Mesh,
+        obj_scal: float = 1.0,
+        dtype=jnp.float64,
+    ):
+        super().__init__(prob, obj_scal=obj_scal, dtype=dtype)
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.ndev = int(np.prod(mesh.devices.shape))
+        self.groups = tuple(pad_group(ga, self.ndev) for ga in self.groups)
+
+        spec_all = P()  # replicated inputs/outputs; work is split by index
+
+        def _assemble_body(groups, lp, dC, scal, y, dEye):
+            idx = jax.lax.axis_index(self.axis)
+            S_parts = tuple(
+                _group_dual_part(ga, idx, self.ndev, scal, y) for ga in groups
+            )
+            S_parts = jax.lax.psum(S_parts, self.axis)
+            S = tuple(
+                Wp + dC * ga.C + dEye * jnp.eye(ga.C.shape[-1], dtype=ga.C.dtype)
+                for Wp, ga in zip(S_parts, groups)
+            )
+            s_lp = (
+                dEye + scal * (y @ lp.A) + dC * lp.c if lp is not None else None
+            )
+            return S, s_lp
+
+        def _kkt_body(groups, lp, L, s_lp, Rd, kind):
+            idx = jax.lax.axis_index(self.axis)
+            is0 = (idx == 0).astype(self.dtype)
+            m = self.m
+            with_m = kind != "corr"
+            M = jnp.zeros((m, m), self.dtype) if with_m else None
+            asinv = jnp.zeros((m,), self.dtype)
+            trsas = jnp.zeros((m,), self.dtype)
+            tr_u = jnp.zeros((), self.dtype)
+            asinvcsinv = jnp.zeros((m,), self.dtype) if kind == "hsd" else None
+            csinv = jnp.zeros((), self.dtype)
+            csinvcsinv = jnp.zeros((), self.dtype)
+            csinvrdsinv = jnp.zeros((), self.dtype)
+
+            for ga, Lg in zip(groups, L):
+                U = chol_ops.chol_inverse(Lg)
+                Mp, ap, tp = _group_schur_part(
+                    ga, U, m, idx, self.ndev, with_m
+                )
+                if with_m:
+                    M = M + Mp
+                asinv = asinv + ap
+                trsas = trsas + tp
+                tr_u = tr_u + is0 * jnp.trace(U, axis1=-2, axis2=-1).sum()
+                if kind == "hsd":
+                    T = jnp.einsum("gpq,gqr,grs->gps", U, ga.C, U, optimize=True)
+                    asinvcsinv = asinvcsinv + _group_hsd_part(
+                        ga, U, T, m, idx, self.ndev
+                    )
+                    csinv = csinv + is0 * jnp.sum(ga.C * U)
+                    csinvcsinv = csinvcsinv + is0 * jnp.sum(ga.C * T)
+                    csinvrdsinv = csinvrdsinv + is0 * Rd * jnp.trace(
+                        T, axis1=-2, axis2=-1
+                    ).sum()
+
+            if lp is not None:
+                # LP cone replicated on device 0 (small next to SDP work)
+                si = 1.0 / s_lp
+                asinv = asinv + is0 * (lp.A @ si)
+                trsas = trsas + is0 * (lp.A @ (si * si))
+                tr_u = tr_u + is0 * jnp.sum(si)
+                if with_m:
+                    M = M + is0 * jnp.einsum(
+                        "ij,j,kj->ik", lp.A, si * si, lp.A, optimize=True
+                    )
+                if kind == "hsd":
+                    csi = lp.c * si
+                    asinvcsinv = asinvcsinv + is0 * (lp.A @ (csi * si))
+                    csinv = csinv + is0 * jnp.sum(csi)
+                    csinvcsinv = csinvcsinv + is0 * jnp.sum(csi * csi)
+                    # LP CSinvRdSinv omitted (ref hdsdp_conic_lp.c:315-327)
+
+            outs = (M, asinv, trsas, asinvcsinv, csinv, csinvcsinv, csinvrdsinv, tr_u)
+            outs = jax.lax.psum(outs, self.axis)
+            M, asinv, trsas, asinvcsinv, csinv, csinvcsinv, csinvrdsinv, tr_u = outs
+            return KKTOut(
+                M=M,
+                asinv=asinv,
+                asinvrdsinv=Rd * trsas,
+                asinvcsinv=asinvcsinv,
+                csinv=csinv,
+                csinvcsinv=csinvcsinv,
+                csinvrdsinv=csinvrdsinv,
+                trace_sinv=tr_u,
+            )
+
+        def _shmap(body):
+            return shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=spec_all,
+                out_specs=spec_all,
+                check_rep=False,
+            )
+
+        self._assemble_sharded = jax.jit(
+            lambda groups, lp, dC, scal, y, dEye: _shmap(_assemble_body)(
+                groups, lp, dC, scal, y, dEye
+            )
+        )
+        self._kkt_sharded = {
+            kind: jax.jit(
+                lambda groups, lp, L, s_lp, Rd, _k=kind: _shmap(
+                    partial(_kkt_body, kind=_k)
+                )(groups, lp, L, s_lp, Rd)
+            )
+            for kind in ("inf", "hsd", "corr")
+        }
+
+    # -- overridden hot entry points ------------------------------------
+    def assemble(self, dC, scal, y, dEye):
+        return self._assemble_sharded(self.groups, self.lp, dC, scal, y, dEye)
+
+    def build_kkt(self, L, s_lp, Rd, kind: str) -> KKTOut:
+        return self._kkt_sharded[kind](self.groups, self.lp, L, s_lp, Rd)

@@ -60,7 +60,7 @@ class Maker:
 class DualIPM:
     """Driver owning the IPM state (ref struct hdsdp, def_hdsdp.h:60-143)."""
 
-    def __init__(self, prob: SDPProblem, params: Params):
+    def __init__(self, prob: SDPProblem, params: Params, mesh=None):
         self.prob = prob
         self.params = params
         self.f = prob.features
@@ -72,7 +72,14 @@ class DualIPM:
         # scaling (ref hdsdp.c:314-320): C *= objScal, b *= rhsScal
         self.obj_scal = self.f.obj_scaling
         self.rhs_scal = self.f.rhs_scaling
-        self.cones = ConeSystem(prob, obj_scal=self.obj_scal, dtype=self.dtype)
+        if mesh is not None:
+            from hdsdp_tpu.parallel.schur import ShardedConeSystem
+
+            self.cones = ShardedConeSystem(
+                prob, mesh, obj_scal=self.obj_scal, dtype=self.dtype
+            )
+        else:
+            self.cones = ConeSystem(prob, obj_scal=self.obj_scal, dtype=self.dtype)
         self.b = jnp.asarray(prob.b * self.rhs_scal, self.dtype)
 
         # bound cone box (ref hdsdp.c:675-690)

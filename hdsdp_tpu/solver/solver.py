@@ -39,14 +39,15 @@ class HDSDPSolver:
     """Drives presolve -> 3-phase IPM -> DIMACS check (ref HDSDPOptimize,
     interface/hdsdp.c:647-719)."""
 
-    def __init__(self, prob: SDPProblem, **param_overrides):
+    def __init__(self, prob: SDPProblem, mesh=None, **param_overrides):
         self.prob = prob
         self.params = Params(**param_overrides)
+        self.mesh = mesh
         self.ipm: Optional[algo.DualIPM] = None
 
     def optimize(self, d_only: bool = False) -> Result:
         t0 = time.time()
-        ipm = algo.DualIPM(self.prob, self.params)
+        ipm = algo.DualIPM(self.prob, self.params, mesh=self.mesh)
         self.ipm = ipm
         if self.params.verbose:
             print("\nhdsdp_tpu: TPU-native semidefinite programming solver\n")
