@@ -279,13 +279,22 @@ class ShardedConeSystem(ConeSystem):
             )
 
         def _shmap(body):
-            return shard_map(
-                body,
-                mesh=self.mesh,
-                in_specs=spec_all,
-                out_specs=spec_all,
-                check_rep=False,
-            )
+            try:
+                return shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=spec_all,
+                    out_specs=spec_all,
+                    check_vma=False,
+                )
+            except TypeError:  # older jax uses check_rep
+                return shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=spec_all,
+                    out_specs=spec_all,
+                    check_rep=False,
+                )
 
         self._assemble_sharded = jax.jit(
             lambda groups, lp, dC, scal, y, dEye: _shmap(_assemble_body)(
