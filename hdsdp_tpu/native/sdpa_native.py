@@ -8,15 +8,50 @@ import os
 _LIB = None
 
 
+def _build(here: str, path: str) -> bool:
+    """Compile the C++ tokenizer in-place (g++ is in the base image)."""
+    import subprocess
+
+    src = os.path.join(here, "sdpa_parser.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", path],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        return False
+    return os.path.exists(path)
+
+
+_LOAD_FAILED = False
+
+
 def _load():
-    global _LIB
-    if _LIB is not None:
+    global _LIB, _LOAD_FAILED
+    if _LIB is not None or _LOAD_FAILED:
         return _LIB
     here = os.path.dirname(__file__)
     path = os.path.join(here, "libhdsdp_native.so")
-    if not os.path.exists(path):
+    if not os.path.exists(path) and not _build(here, path):
+        _LOAD_FAILED = True
         return None
-    _LIB = ctypes.CDLL(path)
+    try:
+        _LIB = ctypes.CDLL(path)
+    except OSError:
+        _LOAD_FAILED = True
+        return None
+    _LIB.hdsdp_sdpa_parse.restype = ctypes.c_void_p
+    _LIB.hdsdp_sdpa_parse.argtypes = [ctypes.c_char_p]
+    _LIB.hdsdp_sdpa_m.argtypes = [ctypes.c_void_p]
+    _LIB.hdsdp_sdpa_nblocks.argtypes = [ctypes.c_void_p]
+    _LIB.hdsdp_sdpa_nnz.argtypes = [ctypes.c_void_p]
+    _LIB.hdsdp_sdpa_nnz.restype = ctypes.c_int64
+    _LIB.hdsdp_sdpa_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7
+    _LIB.hdsdp_sdpa_free.argtypes = [ctypes.c_void_p]
     return _LIB
 
 
@@ -33,15 +68,10 @@ def read(path: str):
 
     from hdsdp_tpu.io import sdpa as sdpa_mod
 
-    lib.hdsdp_sdpa_parse.restype = ctypes.c_void_p
-    lib.hdsdp_sdpa_parse.argtypes = [ctypes.c_char_p]
     h = lib.hdsdp_sdpa_parse(path.encode())
     if not h:
         return None
     try:
-        lib.hdsdp_sdpa_m.argtypes = [ctypes.c_void_p]
-        lib.hdsdp_sdpa_nblocks.argtypes = [ctypes.c_void_p]
-        lib.hdsdp_sdpa_nnz.argtypes = [ctypes.c_void_p]
         m = lib.hdsdp_sdpa_m(h)
         nblocks = lib.hdsdp_sdpa_nblocks(h)
         nnz = lib.hdsdp_sdpa_nnz(h)
@@ -54,9 +84,6 @@ def read(path: str):
         col = np.zeros(nnz, dtype=np.int32)
         val = np.zeros(nnz, dtype=np.float64)
 
-        lib.hdsdp_sdpa_export.argtypes = [ctypes.c_void_p] + [
-            ctypes.c_void_p
-        ] * 7
         lib.hdsdp_sdpa_export(
             h,
             dims.ctypes.data,
@@ -68,7 +95,6 @@ def read(path: str):
             val.ctypes.data,
         )
     finally:
-        lib.hdsdp_sdpa_free.argtypes = [ctypes.c_void_p]
         lib.hdsdp_sdpa_free(h)
 
     lp_cols = 0
