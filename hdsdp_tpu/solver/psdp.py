@@ -1,20 +1,227 @@
-"""PSDP primal refinement (ref interface/hdsdp_psdp.c) — placeholder.
+"""PSDP primal refinement (ref interface/hdsdp_psdp.c).
 
-The full primal-dual refinement loop lands with the PSDP milestone; until
-then the refiner declines, which matches the reference's fallback path
-(ref hdsdp_algo.c:1804-1815: on PSDP failure the dual solution is restored
-and the potential-reduction loop continues with PSDP disabled).
+When Phase B nearly converges, a primal-dual pair (X, y, S) is refined by a
+primal interior-point method: the Schur machinery is reused with X in place
+of S^-1 (KKT_TYPE_PRIMAL, ref hdsdp_conic_sdp.c:1745-1756) and factored
+ONCE; each iteration solves
+
+    M dy = A(XSX/mu - X) + (b - A(X)),        M_ij = tr(A_i X A_j X)
+
+then steps  y += a_d*dy,  X += a_p*(X - XSX/mu - Xs dS Xs / mu)
+(ref HPSDPOptimize, hdsdp_psdp.c:164-457), with ratio tests on both the
+dual cone (S + a*dS >= 0) and the primal factor (X + a*dX >= 0).
+On any failure the dual iterate is restored (ref HPSDPIRecover, :31-47).
+
+TPU notes: X / XSX / dX are batched per block group; the X-weighted Schur
+build reuses the same bucketed kernels as the dual build (U -> X).
 """
 
 from __future__ import annotations
 
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdsdp_tpu.ops import chol as chol_ops
+from hdsdp_tpu.ops import ratio as ratio_ops
+from hdsdp_tpu.ops import schur as schur_ops
+
+
+def _build_primal_kkt(groups, X_list, m):
+    """M_ij = sum tr(A_i X A_j X) (KKT_TYPE_PRIMAL: X replaces S^-1)."""
+    M = jnp.zeros((m, m), X_list[0].dtype)
+    for ga, X in zip(groups, X_list):
+        out = schur_ops.group_schur(ga, X, m, with_m=True)
+        M = M + out.M
+    return M
+
+
+def _xsx(X, S):
+    """Batched congruence X S X (ref fds_trimultiply)."""
+    return jnp.einsum("gij,gjk,gkl->gil", X, S, X, optimize=True)
+
 
 class PSDPRefiner:
+    """Primal refinement driver bound to a DualIPM instance."""
+
     def __init__(self, ipm):
         self.ipm = ipm
+        self.X: Optional[List[jnp.ndarray]] = None
+        self.converged = False
 
+    # ------------------------------------------------------------------
+    def get_primal(self) -> Tuple[List[jnp.ndarray], Optional[jnp.ndarray]]:
+        if self.X is None:
+            raise NotImplementedError
+        return self.X, None
+
+    # ------------------------------------------------------------------
     def optimize(self) -> bool:
-        return False
+        ipm = self.ipm
+        from hdsdp_tpu.solver import algo, dimacs
 
-    def get_solution(self, i_group):
-        raise NotImplementedError
+        # preconditions (ref HPSDPInit: needs zero dual residual, no LP cone)
+        if ipm.cones.has_lp or ipm.Rd != 0.0:
+            return False
+        maker = ipm.maker_acc if ipm.maker_acc.mu > 0.0 else ipm.maker_inacc
+        if maker.mu <= 0.0:
+            return False
+        rec = dimacs.recover_primal(ipm, maker)
+        if rec is None:
+            return False
+        X = [0.5 * (Xg + jnp.swapaxes(Xg, -1, -2)) for Xg in rec[0]]
+        for Xg in X:
+            ok, _ = chol_ops.psd_check(Xg)
+            if not bool(ok):
+                return False
+
+        groups = ipm.cones.groups
+        m = ipm.m
+        b = ipm.b
+        mu = ipm.mu
+        y_backup = ipm.y
+        sum_dims = ipm.all_cone_dims - 2.0 * m  # SDP dims only (ref :199)
+        pd_scal = 1.0 / (ipm.rhs_scal * ipm.obj_scal)
+        p = ipm.params
+
+        Xscal = [Xg for Xg in X]
+        ipm.log.info("HDSDP nearly converges. Primal refinement starts.")
+
+        def factor_primal_kkt():
+            M = _build_primal_kkt(groups, Xscal, m)
+            # regularize (ref HKKTRegularize with 1e-16 coefficient)
+            reg = 1e-16 * float(jnp.max(jnp.diag(M))) + 1e-300
+            ipm.kkt = ipm.kkt._replace(M=M + reg * jnp.eye(m, dtype=M.dtype))
+            ipm.factor_kkt()
+
+        factor_primal_kkt()
+
+        n_bad = 0
+        comp_prev = ipm.comp / pd_scal if np.isfinite(ipm.comp) else 1e30
+
+        for n_iter in range(100):
+            ax = ipm.cones.atx(X, None)
+            rp = b - ax
+            p_inf_norm = float(jnp.linalg.norm(rp))
+
+            # rhs = A(XSX/mu - X) + rp  (ref :240-255)
+            buf = [
+                _xsx(Xg, Sg) / mu - Xg for Xg, Sg in zip(X, ipm.S)
+            ]
+            rhs = ipm.cones.atx(buf, None) + rp
+            dy = ipm.solve_kkt(rhs) * mu
+
+            # dual ratio test; dS = -A'dy (Rd = 0)
+            dS, _ = ipm.cones.assemble(0.0, -1.0, dy, 0.0)
+            d_step = float(ipm.cones.ratio_test(ipm.L, None, dS, None))
+
+            # dX = X - XSX/mu - Xscal dS Xscal / mu  (ref :283-300)
+            dX = [
+                -bg - _xsx(Xs, dSg) / mu
+                for bg, Xs, dSg in zip(buf, Xscal, dS)
+            ]
+
+            # primal ratio test: X + a dX >= 0 via chol(X) congruence
+            p_step = 1e30
+            for Xg, dXg in zip(X, dX):
+                okX, LX = chol_ops.psd_check(Xg)
+                if not bool(okX):
+                    ipm.y = y_backup
+                    ipm.check_is_interior(1.0, ipm.y)
+                    return False
+                steps = ratio_ops.exact_ratio_test(LX, dXg)
+                p_step = min(p_step, float(jnp.min(steps)))
+
+            p_step = min(0.5 * p_step, 1.0)
+            d_step = min(0.5 * d_step, 1.0)
+
+            # take step (ref :327-339)
+            y_new = ipm.y + d_step * dy
+            X = [Xg + p_step * dXg for Xg, dXg in zip(X, dX)]
+
+            if not ipm.check_is_interior(1.0, y_new):
+                ipm.y = y_backup
+                ipm.check_is_interior(1.0, ipm.y)
+                return False
+            ipm.y = y_new
+
+            ok_all = True
+            for Xg in X:
+                okX, _ = chol_ops.psd_check(Xg)
+                ok_all = ok_all and bool(okX)
+            if not ok_all:
+                ipm.y = y_backup
+                ipm.check_is_interior(1.0, ipm.y)
+                return False
+
+            # objective + barrier update (ref :352-383)
+            d_obj = float(b @ ipm.y)
+            p_obj = float(ipm.cones.ctx(X, None))
+            compl = 0.0
+            for Xg, Sg in zip(X, ipm.S):
+                compl += float(jnp.sum(Xg * Sg))
+            if p_obj < d_obj:
+                ipm.y = y_backup
+                ipm.check_is_interior(1.0, ipm.y)
+                return False
+
+            target = (p_obj - d_obj) / (2.0 * sum_dims)
+            if mu < 1e-09:
+                target = min(mu, compl / sum_dims)
+                mu = target * (1.0 - 1.0 / np.sqrt(sum_dims))
+            else:
+                mu = target * (1.0 - 1.0 / np.sqrt(sum_dims))
+
+            # synchronize to solver state (ref :386-401)
+            ipm.p_obj_internal = p_obj
+            ipm.d_obj_internal = d_obj
+            ipm.d_obj_val = d_obj * pd_scal
+            ipm.p_obj_val = p_obj * pd_scal
+            ipm.p_infeas = p_inf_norm / (1.0 + ipm.f.rhs_one_norm)
+            ipm.mu = mu
+            ipm.d_step = d_step
+            ipm.comp = ipm.p_obj_val - ipm.d_obj_val
+            ipm.n_iter += 1
+            ipm.log.iter_row(
+                "psdp", ipm.n_iter + 1, ipm.p_obj_val, ipm.d_obj_val,
+                ipm.p_infeas, mu, d_step, p_step,
+                time.time() - ipm.time_begin,
+            )
+
+            if (
+                ipm.comp
+                < (abs(ipm.p_obj_val) + abs(ipm.d_obj_val) + 1.0) * p.rel_opt_tol
+                and ipm.comp < p.abs_opt_tol * pd_scal
+            ):
+                ipm.status = algo.PRIMAL_DUAL_OPTIMAL
+                self.converged = True
+                break
+
+            if n_bad > 2:
+                break
+
+            # small steps: refresh scaling matrix + refactor (ref :425-444)
+            if (p_step < 1e-02 and d_step < 1e-02) or p_step < 1e-03:
+                Xscal = [Xg for Xg in X]
+                for Xg in Xscal:
+                    okX, _ = chol_ops.psd_check(Xg)
+                    if not bool(okX):
+                        ipm.y = y_backup
+                        ipm.check_is_interior(1.0, ipm.y)
+                        return False
+                factor_primal_kkt()
+                n_bad += 1
+
+            if compl > 10.0 * comp_prev:
+                break
+            if ipm.p_infeas > 1e-06:
+                ipm.y = y_backup
+                ipm.check_is_interior(1.0, ipm.y)
+                return False
+            comp_prev = compl
+
+        self.X = X
+        return True

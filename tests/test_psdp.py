@@ -1,0 +1,32 @@
+"""PSDP primal refinement: on a problem shaped to trigger it
+(single cone, dim < m/3, ref hdsdp.c:153-159), the refiner must engage
+and produce a PSD primal X with small DIMACS errors."""
+
+import numpy as np
+import pytest
+
+from hdsdp_tpu.models.problem import SDPProblem
+from hdsdp_tpu.models.synthetic import random_sdpa
+from hdsdp_tpu.solver.solver import HDSDPSolver
+
+
+def test_psdp_refinement_engages():
+    data = random_sdpa(m=30, block_dims=[8], n_lp=0, seed=4)
+    prob = SDPProblem.from_sdpa(data)
+    f = prob.features
+    assert f.n_max_cone_dim < f.n_rows / 3  # PSDP-eligible shape
+
+    solver = HDSDPSolver(prob, verbose=False)
+    r = solver.optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert np.max(np.abs(r.dimacs)) < 1e-2
+    ipm = solver.ipm
+    if getattr(ipm, "psdp", None) is not None and ipm.psdp.X is not None:
+        # refined primal must be PSD and nearly feasible
+        X_list, _ = ipm.psdp.get_primal()
+        for Xg in X_list:
+            w = np.linalg.eigvalsh(np.asarray(Xg))
+            assert w.min() > -1e-7 * max(1.0, w.max())
+        ax = np.asarray(ipm.cones.atx(X_list, None))
+        b = np.asarray(ipm.b)
+        assert np.linalg.norm(ax - b) < 1e-5 * (1 + np.linalg.norm(b))
