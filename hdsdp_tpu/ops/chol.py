@@ -20,8 +20,15 @@ def cholesky(S: jnp.ndarray) -> jnp.ndarray:
 
 
 def chol_ok(L: jnp.ndarray) -> jnp.ndarray:
-    """True iff the factorization succeeded (matrix was PD)."""
-    return jnp.all(jnp.isfinite(L))
+    """True iff the factorization succeeded (matrix was PD).
+
+    Implemented arithmetically (sum of L - L is NaN iff any entry is
+    NaN/Inf) instead of ``jnp.all(jnp.isfinite(L))``: large boolean
+    intermediates inside ``lax.cond`` branches crash the TPU compiler's
+    HloReplicationAnalysis (shape_util check failure on pred arrays).
+    """
+    s = jnp.sum(L - L)
+    return s == 0.0
 
 
 def psd_check(S: jnp.ndarray):

@@ -1056,6 +1056,10 @@ class DualIPM:
     # main entry (ref HDSDP_Conic_Solve, :1853-1870)
     # ------------------------------------------------------------------
     def solve(self, d_only: bool = False):
+        if self.params.fused:
+            from hdsdp_tpu.solver.fused import solve_fused
+
+            return solve_fused(self, d_only)
         self.psdp = None
         self.phase_a(d_only)
         if self.status == SUSPECT_INFEAS_OR_UNBOUNDED:

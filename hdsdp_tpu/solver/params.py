@@ -42,6 +42,9 @@ class Params:
     lanczos_dim: int = 30
     verbose: bool = True
     model_notes: str = ""
+    # fused=True compiles each IPM phase into a single XLA program
+    # (hdsdp_tpu.solver.fused); False keeps the host-driven reference loop
+    fused: bool = True
 
 
 def adjust_params(params: Params, f: Features) -> Params:

@@ -91,10 +91,17 @@ class PSDPRefiner:
         ipm.log.info("HDSDP nearly converges. Primal refinement starts.")
 
         def factor_primal_kkt():
+            from hdsdp_tpu.solver.cones import KKTOut
+
             M = _build_primal_kkt(groups, Xscal, m)
             # regularize (ref HKKTRegularize with 1e-16 coefficient)
             reg = 1e-16 * float(jnp.max(jnp.diag(M))) + 1e-300
-            ipm.kkt = ipm.kkt._replace(M=M + reg * jnp.eye(m, dtype=M.dtype))
+            ipm.kkt = KKTOut(
+                M=M + reg * jnp.eye(m, dtype=M.dtype),
+                asinv=None, asinvrdsinv=None, asinvcsinv=None,
+                csinv=None, csinvcsinv=None, csinvrdsinv=None,
+                trace_sinv=None,
+            )
             ipm.factor_kkt()
 
         factor_primal_kkt()

@@ -1,0 +1,40 @@
+"""Fused whole-phase programs must agree with the host-driven reference
+loop (same statuses, objectives to solver tolerance, similar iteration
+counts) on fixtures and synthetic instances."""
+
+import numpy as np
+import pytest
+
+from hdsdp_tpu.models.problem import SDPProblem
+from hdsdp_tpu.models.synthetic import random_sdpa
+from hdsdp_tpu.solver.solver import HDSDPSolver, solve_sdpa_file
+
+
+@pytest.mark.parametrize("fname", ["theta1.dat-s", "truss1.dat-s"])
+def test_fused_matches_host_on_fixture(examples_dir, fname):
+    rf = solve_sdpa_file(f"{examples_dir}/{fname}", verbose=False, fused=True)
+    rh = solve_sdpa_file(f"{examples_dir}/{fname}", verbose=False, fused=False)
+    assert rf.status == rh.status == "PRIMAL_DUAL_OPTIMAL"
+    assert rf.d_obj == pytest.approx(rh.d_obj, rel=1e-7)
+    assert abs(rf.n_iters - rh.n_iters) <= 5
+    assert np.max(np.abs(rf.dimacs)) < 1e-2
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_matches_host_synthetic(seed):
+    data = random_sdpa(m=24, block_dims=[10, 6], n_lp=5, seed=seed)
+    prob = SDPProblem.from_sdpa(data)
+    rf = HDSDPSolver(prob, verbose=False, fused=True).optimize()
+    rh = HDSDPSolver(prob, verbose=False, fused=False).optimize()
+    assert rf.status == rh.status == "PRIMAL_DUAL_OPTIMAL"
+    assert rf.d_obj == pytest.approx(rh.d_obj, rel=1e-6)
+
+
+def test_fused_psdp_handoff():
+    """PSDP-eligible shape: the fused Phase B must hand off and refine."""
+    data = random_sdpa(m=30, block_dims=[8], n_lp=0, seed=4)
+    prob = SDPProblem.from_sdpa(data)
+    solver = HDSDPSolver(prob, verbose=False, fused=True)
+    r = solver.optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert np.max(np.abs(r.dimacs)) < 1e-2
