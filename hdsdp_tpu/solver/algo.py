@@ -167,14 +167,17 @@ class DualIPM:
     # ------------------------------------------------------------------
     def check_is_interior(self, tau, y, with_bound=True) -> bool:
         """Assemble S at (tau, y) with the current Rd/perturb and factor."""
-        S, s_lp = self.cones.assemble(tau, -1.0, y, -self.Rd + self.perturb)
-        ok, L = self.cones.factor(S, s_lp)
-        interior = bool(ok)
-        if interior:
+        from hdsdp_tpu.solver.cones import _interior_check
+
+        S, s_lp, L, sl, su, flags = _interior_check(
+            self.cones.groups, self.cones.lp, tau, -1.0, y,
+            -self.Rd + self.perturb, tau, self.bound_lo, self.bound_up,
+        )
+        ok, bound_ok = (bool(v) for v in np.asarray(flags))
+        if ok:
             self.S, self.s_lp, self.L = S, s_lp, L
+        interior = ok
         if with_bound and self.which_method != "hsd":
-            sl, su = self._bound_slacks(tau, y)
-            bound_ok = bool(jnp.all(sl > 0) & jnp.all(su > 0))
             if bound_ok:
                 self.sl, self.su = sl, su
             interior = interior and bound_ok

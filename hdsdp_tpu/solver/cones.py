@@ -148,6 +148,19 @@ def _ratio(L, s_lp, dS, ds_lp):
 
 
 @jax.jit
+def _interior_check(groups, lp, dC, scal, y, dEye, tau, lo, up):
+    """Fused assemble + factor + bound slacks: ONE dispatch, one packed
+    flag read-back (the op-by-op path costs ~6 host round-trips)."""
+    S, s_lp = _assemble(groups, lp, dC, scal, y, dEye)
+    ok, L = _factor(S, s_lp)
+    sl = y - tau * lo
+    su = tau * up - y
+    bok = jnp.logical_and(jnp.all(sl > 0), jnp.all(su > 0))
+    flags = jnp.stack([ok, bok])
+    return S, s_lp, L, sl, su, flags
+
+
+@jax.jit
 def _add_step_check(S, s_lp, dS, ds_lp, alpha):
     S_new = tuple(Sg + alpha * dSg for Sg, dSg in zip(S, dS))
     s_new = s_lp + alpha * ds_lp if s_lp is not None else None

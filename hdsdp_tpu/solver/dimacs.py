@@ -8,17 +8,22 @@ The primal matrix per cone is recovered from a recorded "maker"
     X = mu* ( Sbar^-1 + Sbar^-1 W Sbar^-1 ),   Sbar = C - A'y*,  W = A'(dy*)
 
 computed here with batched Cholesky + congruence instead of the reference's
-two triangular solve sweeps.
+two triangular solve sweeps.  The full recovery + 6-error computation is
+ONE jitted dispatch (`_dimacs_kernel`); only the maker-retry policy runs
+on host.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from hdsdp_tpu.ops import chol as chol_ops
+from hdsdp_tpu.solver.cones import _assemble, _atx, _ctx, _factor
 
 
 def recover_primal(ipm, maker) -> Optional[Tuple[List[jnp.ndarray], Optional[jnp.ndarray]]]:
@@ -46,6 +51,51 @@ def recover_primal(ipm, maker) -> Optional[Tuple[List[jnp.ndarray], Optional[jnp
     return X_list, x_lp
 
 
+@partial(jax.jit, static_argnames=("m",))
+def _dimacs_kernel(groups, lp, b, y, Rd, perturb, mk_mu, mk_y, mk_dy, m: int):
+    """(ok, errs_raw..., p_obj, d_obj, compl, min_eval, p_infeas_norm).
+
+    Returns raw (unscaled) quantities; the host applies the scaling factors
+    and the reference's error normalizations.
+    """
+    Sbar, sbar_lp = _assemble(groups, lp, 1.0, -1.0, mk_y, perturb)
+    ok, Lbar = _factor(Sbar, sbar_lp)
+    W, w_lp = _assemble(groups, lp, 0.0, 1.0, mk_dy, 0.0)
+
+    X_list = []
+    for Lg, Wg in zip(Lbar, W):
+        U = chol_ops.chol_inverse(Lg)
+        X = mk_mu * (U + jnp.einsum("gij,gjk,gkl->gil", U, Wg, U))
+        X_list.append(0.5 * (X + jnp.swapaxes(X, -1, -2)))
+    x_lp = (
+        mk_mu * (sbar_lp + w_lp) / (sbar_lp * sbar_lp)
+        if lp is not None
+        else None
+    )
+
+    S, s_lp = _assemble(groups, lp, 1.0, -1.0, y, -Rd + perturb)
+
+    d_obj = b @ y
+    ax = _atx(groups, lp, tuple(X_list), x_lp, m)
+    p_obj = _ctx(groups, lp, tuple(X_list), x_lp)
+
+    compl = jnp.zeros((), b.dtype)
+    for Xg, Sg in zip(X_list, S):
+        compl = compl + jnp.sum(Xg * Sg)
+    if lp is not None:
+        compl = compl + x_lp @ s_lp
+
+    min_eval = jnp.asarray(jnp.inf, b.dtype)
+    for Xg in X_list:
+        w = jnp.linalg.eigvalsh(Xg)
+        min_eval = jnp.minimum(min_eval, jnp.min(w))
+    if lp is not None:
+        min_eval = jnp.minimum(min_eval, jnp.min(x_lp))
+
+    p_inf_norm = jnp.linalg.norm(ax - b)
+    return ok, p_obj, d_obj, compl, min_eval, p_inf_norm
+
+
 def check_solution(ipm) -> np.ndarray:
     """Compute the 6 DIMACS errors and set the final status.
 
@@ -59,7 +109,6 @@ def check_solution(ipm) -> np.ndarray:
         ipm.status = algo.NUMERICAL
         return errs
 
-    f = ipm.f
     use_acc = ipm.maker_acc.mu > 0.0
 
     while True:
@@ -81,46 +130,12 @@ def check_solution(ipm) -> np.ndarray:
         return errs
 
 
-def _dimacs_errors(ipm, maker) -> Optional[np.ndarray]:
+def _errors_from_parts(ipm, p_obj, d_obj, compl, min_eval, p_inf_norm):
     f = ipm.f
-    cones = ipm.cones
-
-    rec = recover_primal(ipm, maker)
-    if rec is None:
-        return None
-    X_list, x_lp = rec
-
-    if getattr(ipm, "psdp", None) is not None and not isinstance(ipm.psdp, type(None)):
-        try:
-            X_list, x_lp = ipm.psdp.get_primal()
-        except (NotImplementedError, AttributeError):
-            pass
-
-    # current duals S at (tau=1, y) with residual + perturb
-    S, s_lp = cones.assemble(1.0, -1.0, ipm.y, -ipm.Rd + ipm.perturb)
-
-    d_obj = float(ipm.b @ ipm.y)
-    ax = cones.atx(X_list, x_lp)
-    p_obj = float(cones.ctx(X_list, x_lp))
-
-    compl = 0.0
-    for Xg, Sg in zip(X_list, S):
-        compl += float(jnp.sum(Xg * Sg))
-    if cones.has_lp:
-        compl += float(x_lp @ s_lp)
-
-    min_eval = np.inf
-    for Xg in X_list:
-        w = jnp.linalg.eigvalsh(Xg)
-        min_eval = min(min_eval, float(jnp.min(w)))
-    if cones.has_lp:
-        min_eval = min(min_eval, float(jnp.min(x_lp)))
-
     pd_scal = ipm.rhs_scal * ipm.obj_scal
-    d_obj /= pd_scal
-    p_obj /= pd_scal
-
-    p_infeas = float(jnp.linalg.norm(ax - ipm.b)) / ipm.rhs_scal
+    d_obj = d_obj / pd_scal
+    p_obj = p_obj / pd_scal
+    p_infeas = p_inf_norm / ipm.rhs_scal
     d_infeas = ipm.perturb * np.sqrt(max(f.n_sum_cone_dims, 1)) / ipm.obj_scal
 
     errs = np.zeros(6)
@@ -134,3 +149,48 @@ def _dimacs_errors(ipm, maker) -> Optional[np.ndarray]:
     ipm.p_obj_val = p_obj
     ipm.d_obj_val = d_obj
     return errs
+
+
+def _dimacs_errors(ipm, maker) -> Optional[np.ndarray]:
+    cones = ipm.cones
+
+    if getattr(ipm, "psdp", None) is not None and getattr(ipm.psdp, "X", None) is not None:
+        # PSDP-refined primal: compute errors from the explicit X (host)
+        X_list, x_lp = ipm.psdp.get_primal()
+        S, s_lp = cones.assemble(1.0, -1.0, ipm.y, -ipm.Rd + ipm.perturb)
+        d_obj = float(ipm.b @ ipm.y)
+        ax = cones.atx(X_list, x_lp)
+        p_obj = float(cones.ctx(X_list, x_lp))
+        compl = 0.0
+        for Xg, Sg in zip(X_list, S):
+            compl += float(jnp.sum(Xg * Sg))
+        if cones.has_lp:
+            compl += float(x_lp @ s_lp)
+        min_eval = np.inf
+        for Xg in X_list:
+            w = jnp.linalg.eigvalsh(Xg)
+            min_eval = min(min_eval, float(jnp.min(w)))
+        if cones.has_lp:
+            min_eval = min(min_eval, float(jnp.min(x_lp)))
+        p_inf_norm = float(jnp.linalg.norm(ax - ipm.b))
+        return _errors_from_parts(ipm, p_obj, d_obj, compl, min_eval, p_inf_norm)
+
+    out = _dimacs_kernel(
+        cones.groups,
+        cones.lp,
+        ipm.b,
+        jnp.asarray(ipm.y, ipm.dtype),
+        jnp.asarray(ipm.Rd, ipm.dtype),
+        jnp.asarray(ipm.perturb, ipm.dtype),
+        jnp.asarray(maker.mu, ipm.dtype),
+        jnp.asarray(maker.y, ipm.dtype),
+        jnp.asarray(maker.dy, ipm.dtype),
+        ipm.m,
+    )
+    ok, p_obj, d_obj, compl, min_eval, p_inf_norm = (np.asarray(v) for v in out)
+    if not bool(ok):
+        return None
+    return _errors_from_parts(
+        ipm, float(p_obj), float(d_obj), float(compl), float(min_eval),
+        float(p_inf_norm),
+    )
