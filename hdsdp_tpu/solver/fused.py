@@ -39,6 +39,7 @@ NUMERICAL = 4
 OPTIMAL = 5
 INFEAS = 6
 PSDP_HANDOFF = 7
+DUAL_OPTIMAL = 8
 
 
 class Maker(NamedTuple):
@@ -76,6 +77,8 @@ class State(NamedTuple):
     Rd: jnp.ndarray
     mu: jnp.ndarray
     perturb: jnp.ndarray
+    tau: jnp.ndarray  # HSD homogenizing variable (1.0 in phases A/B)
+    obj_improve: jnp.ndarray  # HSD dual-objective improvement tracker
     S: Tuple[jnp.ndarray, ...]
     s_lp: Optional[jnp.ndarray]
     L: Tuple[jnp.ndarray, ...]
@@ -1149,6 +1152,166 @@ def make_phase_b(c: Cones, p: Pars, corrector_b: int, max_iter: int,
 
 
 # ----------------------------------------------------------------------
+# Phase A' — homogeneous self-dual embedding (fused mirror of
+# algo.hsd_solve, ref HDSDP_PhaseA_BarHsdSolve hdsdp_algo.c:355-546)
+# ----------------------------------------------------------------------
+
+
+class HsdPars(NamedTuple):
+    feas_tol: jnp.ndarray
+    abs_opt: jnp.ndarray
+    rel_opt: jnp.ndarray
+    hsd_gamma: jnp.ndarray
+    reset_rd: jnp.ndarray
+    pd_base: jnp.ndarray  # 1 / (rhs_scal * obj_scal)
+
+
+def _hsd_build_step(c: Cones, st: State, kkt, d1, d2, d3, d4):
+    """ref HDSDP_HSD_BuildStep (algo.hsd_build_step)."""
+    (_, asinv, _, asinvcsinv, csinv, csinvcsinv, csinvrdsinv, _) = kkt
+    mu, tau = st.mu, st.tau
+    bty = c.b @ st.y
+    obj_improve = bty - st.d_obj_internal
+
+    dd1 = c.b - mu * asinvcsinv
+    num = -bty + mu / tau + mu * (csinv - csinvrdsinv)
+    den = mu * csinvcsinv + mu / (tau * tau)
+    num = num - dd1 @ (d1 * (tau / mu) - d2 + d3)
+    den = den + dd1 @ (d1 / mu + d4)
+
+    dtau = jnp.where(jnp.abs(den) < 1e-12, 0.0, num / den)
+    dy = d1 * (tau + dtau) / mu + d4 * dtau - d2 + d3
+    return dtau, dy, bty, obj_improve
+
+
+def _hsd_iteration(c: Cones, hp: HsdPars, st: State):
+    kkt = build_kkt(c, st.L, st.s_lp, st.Rd, "hsd")
+    (M, asinv, asinvrdsinv, asinvcsinv, *_rest) = kkt
+    Lm, ok_m = factor_m(M)
+    rhs4 = jnp.stack([c.b, asinv, asinvrdsinv, asinvcsinv], axis=1)
+    sols = solve_m(Lm, rhs4)
+    d1, d2, d3, d4 = sols[:, 0], sols[:, 1], sols[:, 2], sols[:, 3]
+
+    dtau, dy, bty, obj_improve = _hsd_build_step(c, st, kkt, d1, d2, d3, d4)
+    st = st._replace(d_obj_internal=bty, obj_improve=obj_improve)
+
+    # ratio test incl tau (ref HDSDP_HSD_RatioTest, :316-353)
+    t = st.tau / dtau
+    max_step = jnp.where(
+        jnp.logical_and(dtau != 0.0, t < 0.0), -t, jnp.asarray(INF)
+    )
+    dS, ds_lp = assemble(c, dtau, -1.0, dy, 1.0 * st.Rd)
+    step_c = cone_ratio(c, st.L, st.s_lp, dS, ds_lp)
+    max_step = jnp.minimum(max_step, step_c)
+    st = st._replace(
+        n_small_step=st.n_small_step + jnp.where(max_step < 1e-02, 1, 0)
+    )
+
+    # step-size ladder (ref :463-471)
+    step = jnp.where(
+        max_step > 1.0,
+        0.7 * max_step,
+        jnp.where(
+            max_step > 0.5,
+            0.5 * max_step,
+            jnp.where(max_step > 0.2, 0.3 * max_step, 0.2 * max_step),
+        ),
+    )
+    step = jnp.minimum(step, 1.0)
+
+    # d_obj_val at the pre-step iterate / tau (print_log semantics)
+    d_obj_val = bty * hp.pd_base / st.tau
+
+    st = st._replace(
+        d_step=step,
+        tau=st.tau + step * dtau,
+        y=st.y + step * dy,
+        Rd=st.Rd * (1.0 - step),
+    )
+
+    # barrier reduction (ref :484-499)
+    mu = st.mu
+    t_new = jnp.where(
+        jnp.logical_and(step > 0.8, st.tau > 1.0),
+        jnp.maximum(0.1 * mu, -0.1 * st.Rd / st.tau),
+        jnp.maximum(hp.hsd_gamma * mu, -0.1 * st.Rd / st.tau),
+    )
+    mu = jnp.where(mu > 1e-12, jnp.minimum(mu, t_new), jnp.minimum(mu, 0.8 * mu))
+    st = st._replace(mu=mu)
+
+    converged = jnp.logical_and(
+        jnp.abs(st.Rd) < hp.feas_tol * st.tau,
+        jnp.logical_and(
+            st.mu < hp.abs_opt,
+            jnp.logical_and(
+                st.mu < hp.rel_opt * (1 + 2.0 * jnp.abs(d_obj_val)),
+                jnp.abs(st.obj_improve)
+                < 1e-05 * (jnp.abs(st.d_obj_internal) + 1.0),
+            ),
+        ),
+    )
+    st = st._replace(
+        status=jnp.where(
+            jnp.logical_and(st.status == RUNNING, converged),
+            DUAL_FEASIBLE,  # host maps to DUAL_OPTIMAL when d_only
+            st.status,
+        )
+    )
+    st = st._replace(
+        status=jnp.where(
+            jnp.logical_and(st.status == RUNNING, st.tau <= 1e-10),
+            SUSPECT,
+            st.status,
+        ),
+        n_iter=st.n_iter + 1,
+    )
+    return st
+
+
+def make_hsd(c: Cones, hp: HsdPars, max_iter: int):
+    def body(st: State):
+        interior, st = check_interior(c, st, st.tau, st.y, with_bound=False)
+
+        def first_reset(st):
+            # ref :641-647: inflate residual, reset, retry next iteration
+            st = st._replace(
+                y=jnp.zeros_like(st.y),
+                tau=jnp.asarray(1.0),
+                p_obj_internal=jnp.asarray(1e+15),
+                Rd=hp.reset_rd,
+                n_iter=st.n_iter + 1,
+            )
+            return st
+
+        def not_interior(st):
+            return jax.lax.cond(
+                st.n_iter == 0,
+                first_reset,
+                lambda s: s._replace(status=jnp.asarray(NUMERICAL, jnp.int32)),
+                st,
+            )
+
+        return jax.lax.cond(
+            interior,
+            lambda s: _hsd_iteration(c, hp, s),
+            not_interior,
+            st,
+        )
+
+    def cond(st: State):
+        return jnp.logical_and(st.status == RUNNING, st.n_iter < max_iter)
+
+    def run(st: State):
+        st = jax.lax.while_loop(cond, body, st)
+        st = st._replace(
+            status=jnp.where(st.status == RUNNING, MAXITER, st.status)
+        )
+        return st
+
+    return jax.jit(run)
+
+
+# ----------------------------------------------------------------------
 # host driver integration
 # ----------------------------------------------------------------------
 
@@ -1208,6 +1371,8 @@ def _state_from_ipm(ipm) -> State:
         Rd=scal(ipm.Rd),
         mu=scal(ipm.mu),
         perturb=scal(ipm.perturb),
+        tau=scal(ipm.tau),
+        obj_improve=scal(ipm.obj_improve),
         S=tuple(ipm.S),
         s_lp=ipm.s_lp,
         L=tuple(ipm.L),
@@ -1238,6 +1403,8 @@ def _sync_to_ipm(st: State, ipm):
     ipm.y = st.y
     ipm.Rd = float(st.Rd)
     ipm.mu = float(st.mu)
+    ipm.tau = float(st.tau)
+    ipm.obj_improve = float(st.obj_improve)
     ipm.S = st.S
     ipm.s_lp = st.s_lp
     ipm.L = st.L
@@ -1276,7 +1443,50 @@ _STATUS_MAP = {
     NUMERICAL: "NUMERICAL",
     OPTIMAL: "PRIMAL_DUAL_OPTIMAL",
     INFEAS: "INFEAS_OR_UNBOUNDED",
+    DUAL_OPTIMAL: "DUAL_OPTIMAL",
 }
+
+
+def _run_hsd_fused(ipm, c: Cones, d_only: bool):
+    """Fused counterpart of algo.hsd_solve (ref hdsdp_algo.c:355-546)."""
+    from hdsdp_tpu.solver import algo
+
+    p = ipm.params
+    f = ipm.f
+    ipm.which_method = "hsd"
+    if ipm.status == algo.UNKNOWN:
+        ipm.set_start("hsd", d_only)
+    ipm.log.header("hsd")
+
+    abs_opt = (p.abs_opt_tol if d_only else 1e+20) * 1e-04
+    rel_opt = abs_opt * 1e-04  # (ref :401-402 quirk: derived from abs)
+    feas_tol = min(p.abs_feas_tol, p.rel_feas_tol * (1.0 + f.obj_one_norm))
+    feas_tol = feas_tol * ipm.obj_scal / np.sqrt(max(f.n_sum_cone_dims, 1))
+    d = ipm.dtype
+    hp = HsdPars(
+        feas_tol=jnp.asarray(feas_tol, d),
+        abs_opt=jnp.asarray(abs_opt, d),
+        rel_opt=jnp.asarray(rel_opt, d),
+        hsd_gamma=jnp.asarray(p.hsd_gamma, d),
+        reset_rd=jnp.asarray(
+            max(-max(f.obj_fro_norm, 1e+02) * 1e+06, -1e+15), d
+        ),
+        pd_base=jnp.asarray(1.0 / (ipm.rhs_scal * ipm.obj_scal), d),
+    )
+    key = _cache_key(ipm, "hsd", (p.max_iter,))
+    if key not in _PROGRAM_CACHE:
+        _PROGRAM_CACHE[key] = make_hsd(c, hp, p.max_iter)
+    st = _state_from_ipm(ipm)
+    st = st._replace(status=jnp.asarray(RUNNING, jnp.int32))
+    st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
+    _sync_to_ipm(st, ipm)
+    code = int(st.status)
+    ipm.print_log("hsd")
+    if code == DUAL_FEASIBLE:
+        ipm.status = algo.DUAL_OPTIMAL if d_only else algo.DUAL_FEASIBLE
+    else:
+        ipm.status = _STATUS_MAP.get(code, algo.NUMERICAL)
+    return ipm.status
 
 _PROGRAM_CACHE: dict = {}
 
@@ -1327,8 +1537,7 @@ def solve_fused(ipm, d_only: bool = False):
 
     if code == SUSPECT:
         ipm.log.info("\nInfeasible method stops due to suspected infeasibility")
-        ipm.hsd_solve(d_only)
-        return ipm.status
+        return _run_hsd_fused(ipm, c, d_only)
     if code != DUAL_FEASIBLE:
         return ipm.status
 
