@@ -89,7 +89,8 @@ class DualIPM:
         # sum of cone dims + 2*m for the box (ref hdsdp.c:55)
         self.all_cone_dims = float(self.cones.sum_cone_dims + 2 * self.m)
 
-        # iterate
+        # iterate (y0 = optional dual warm start, ref HDSDPSetDualStart)
+        self.y0 = None
         self.y = jnp.zeros((self.m,), self.dtype)
         self.tau = 1.0
         self.Rd = 0.0  # scalar dual residual (negative)
@@ -307,7 +308,9 @@ class DualIPM:
     # starting points (ref HDSDP_SetStart / HDSDP_ResetStart)
     # ------------------------------------------------------------------
     def set_start(self, method: str, d_only: bool):
-        self.y = jnp.zeros((self.m,), self.dtype)
+        self.y = (
+            self.y0 if self.y0 is not None else jnp.zeros((self.m,), self.dtype)
+        )
         self.tau = 1.0
         obj_fro = max(self.f.obj_fro_norm * self.obj_scal, 100.0)
         if method == "hsd":

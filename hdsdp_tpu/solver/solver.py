@@ -44,10 +44,28 @@ class HDSDPSolver:
         self.params = Params(**param_overrides)
         self.mesh = mesh
         self.ipm: Optional[algo.DualIPM] = None
+        self._dual_start = None
 
-    def optimize(self, d_only: bool = False) -> Result:
+    def set_dual_start(self, y) -> None:
+        """Dual warm start (ref HDSDPSetDualStart, interface/hdsdp.c:617)."""
+        self._dual_start = np.asarray(y, dtype=np.float64)
+
+    def optimize(
+        self,
+        d_only: bool = False,
+        resume_from: Optional[str] = None,
+        checkpoint_to: Optional[str] = None,
+    ) -> Result:
         t0 = time.time()
         ipm = algo.DualIPM(self.prob, self.params, mesh=self.mesh)
+        if self._dual_start is not None:
+            import jax.numpy as jnp
+
+            ipm.y0 = jnp.asarray(self._dual_start, ipm.dtype)
+        if resume_from is not None:
+            from hdsdp_tpu.utils.checkpoint import apply_checkpoint, load_checkpoint
+
+            apply_checkpoint(ipm, load_checkpoint(resume_from))
         self.ipm = ipm
         if self.params.verbose:
             print("\nhdsdp_tpu: TPU-native semidefinite programming solver\n")
@@ -55,6 +73,11 @@ class HDSDPSolver:
                 print(ipm.params.model_notes)
 
         ipm.solve(d_only=d_only)
+
+        if checkpoint_to is not None:
+            from hdsdp_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_to, ipm)
 
         errs = np.ones(6)
         if ipm.status not in (
