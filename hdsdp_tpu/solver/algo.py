@@ -245,9 +245,22 @@ class DualIPM:
 
     def factor_kkt(self) -> None:
         """Cholesky with a regularization ladder (fallback for indefinite M,
-        analogue of the CG -> LDL switch, ref hdsdp_linsolver.c:1827-1857)."""
+        analogue of the CG -> LDL switch, ref hdsdp_linsolver.c:1827-1857).
+        With kkt_solver="cg" the factorization is deferred: solves go
+        through AdaptiveCG (ref conjGradSolve + ADPCG policy)."""
         self._factor_stats["n_factor"] += 1
         M = self.kkt.M
+        use_cg = self.params.kkt_solver == "cg" or (
+            self.params.kkt_solver == "auto"
+            and self.m >= self.params.kkt_cg_threshold
+        )
+        if use_cg:
+            if not hasattr(self, "_cg"):
+                from hdsdp_tpu.ops.cg import AdaptiveCG
+
+                self._cg = AdaptiveCG(abs_tol=1e-10, rel_tol=1e-10)
+            self.Mfac = ("cg", M)
+            return
         L = jnp.linalg.cholesky(M)
         if bool(jnp.all(jnp.isfinite(L))):
             self.Mfac = ("chol", L)
@@ -266,6 +279,8 @@ class DualIPM:
         kind, fac = self.Mfac
         if kind == "chol":
             return chol_ops.chol_solve(fac, rhs)
+        if kind == "cg":
+            return self._cg.solve(fac, rhs)
         return jax.scipy.linalg.lu_solve(fac, rhs)
 
     # ------------------------------------------------------------------

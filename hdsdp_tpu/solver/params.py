@@ -45,6 +45,12 @@ class Params:
     # fused=True compiles each IPM phase into a single XLA program
     # (hdsdp_tpu.solver.fused); False keeps the host-driven reference loop
     fused: bool = True
+    # Schur system backend: "direct" dense Cholesky, "cg" Jacobi/stale-
+    # Cholesky PCG (ref HDSDP_LINSYS_DENSE_ITERATIVE default), "auto"
+    # picks cg above kkt_cg_threshold rows (host loop only; the fused
+    # path factors directly)
+    kkt_solver: str = "auto"
+    kkt_cg_threshold: int = 4096
 
 
 def adjust_params(params: Params, f: Features) -> Params:
