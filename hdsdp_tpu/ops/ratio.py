@@ -102,6 +102,34 @@ def lanczos_ratio_test(L: jnp.ndarray, dS: jnp.ndarray, v0: jnp.ndarray, krylov:
     return step, Mz1
 
 
+# exact-ratio threshold: below this dimension the batched eigh is
+# cheaper than 30 sequential Lanczos matvecs on TPU
+AUTO_LANCZOS_DIM = 192
+
+
+def block_ratio(
+    L: jnp.ndarray,
+    dS: jnp.ndarray,
+    mode: str = "auto",
+    krylov: int = 30,
+) -> jnp.ndarray:
+    """Per-matrix max step for one block group, dispatching exact eigh vs
+    Lanczos by mode and dimension (ref: the cone binds HLanczosSolve as
+    its ratio test, hdsdp_conic_sdp.c:1392-1394; small cones are cheaper
+    exactly)."""
+    n = L.shape[-1]
+    if mode == "exact" or (mode == "auto" and n < AUTO_LANCZOS_DIM):
+        return exact_ratio_test(L, dS)
+    # deterministic start vector (warm starts are carried by the caller
+    # in the reference; here a fixed slightly-perturbed vector suffices
+    # because the safeguard keeps the bound conservative)
+    v0 = jnp.broadcast_to(
+        1.0 + 1e-03 * jnp.arange(n, dtype=L.dtype), L.shape[:-2] + (n,)
+    )
+    step, _ = lanczos_ratio_test(L, dS, v0, krylov=krylov)
+    return step
+
+
 def vector_ratio_test(s: jnp.ndarray, ds: jnp.ndarray) -> jnp.ndarray:
     """Max alpha with s + alpha*ds > 0 elementwise for s > 0.
 

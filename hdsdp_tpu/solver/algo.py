@@ -80,6 +80,8 @@ class DualIPM:
             )
         else:
             self.cones = ConeSystem(prob, obj_scal=self.obj_scal, dtype=self.dtype)
+        self.cones.ratio_mode = params.ratio_test
+        self.cones.lanczos_dim = params.lanczos_dim
         self.b = jnp.asarray(prob.b * self.rhs_scal, self.dtype)
 
         # bound cone box (ref hdsdp.c:675-690)

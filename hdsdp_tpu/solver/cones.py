@@ -135,11 +135,11 @@ def _build_kkt(groups, lp, L, s_lp, Rd, m: int, kind: str) -> KKTOut:
     )
 
 
-@jax.jit
-def _ratio(L, s_lp, dS, ds_lp):
+@partial(jax.jit, static_argnames=("mode", "krylov"))
+def _ratio(L, s_lp, dS, ds_lp, mode: str = "auto", krylov: int = 30):
     step = jnp.asarray(INF, L[0].dtype if L else jnp.float64)
     for Lg, dSg in zip(L, dS):
-        steps = ratio_ops.exact_ratio_test(Lg, dSg)
+        steps = ratio_ops.block_ratio(Lg, dSg, mode=mode, krylov=krylov)
         step = jnp.minimum(step, jnp.min(steps))
     if s_lp is not None:
         step_lp = ratio_ops.vector_ratio_test(s_lp, ds_lp)
@@ -247,10 +247,14 @@ class ConeSystem:
         return _build_kkt(self.groups, self.lp, L, s_lp, Rd, self.m, kind)
 
     # -- ratio test --------------------------------------------------------
+    ratio_mode: str = "auto"
+    lanczos_dim: int = 30
+
     def ratio_test(self, L, s_lp, dS, ds_lp):
         """Max alpha with S + alpha*dS >= 0 over all cones
         (ref HConeRatioTest; LP part per hdsdp_conic_lp.c:228-243)."""
-        return _ratio(L, s_lp, dS, ds_lp)
+        return _ratio(L, s_lp, dS, ds_lp, mode=self.ratio_mode,
+                      krylov=self.lanczos_dim)
 
     # -- add step to buffer and check (ref sdpDenseConeAddStepToBufferAndCheck)
     def add_step_check(self, S, s_lp, dS, ds_lp, alpha):

@@ -136,10 +136,18 @@ def logdet(c: Cones, L, s_lp):
     return val
 
 
+# trace-time ratio-test configuration: set by solve_fused before the
+# fused programs are built (included in the program cache key)
+_RATIO_CFG = {"mode": "auto", "krylov": 30}
+
+
 def cone_ratio(c: Cones, L, s_lp, dS, ds_lp):
     step = jnp.asarray(INF)
     for Lg, dSg in zip(L, dS):
-        step = jnp.minimum(step, jnp.min(ratio_ops.exact_ratio_test(Lg, dSg)))
+        steps = ratio_ops.block_ratio(
+            Lg, dSg, mode=_RATIO_CFG["mode"], krylov=_RATIO_CFG["krylov"]
+        )
+        step = jnp.minimum(step, jnp.min(steps))
     if c.lp is not None:
         step = jnp.minimum(step, ratio_ops.vector_ratio_test(s_lp, ds_lp))
     return step
@@ -1496,7 +1504,8 @@ def _cache_key(ipm, phase, extra):
         (ga.F.shape, ga.Ad.shape, ga.C.shape) for ga in ipm.cones.groups
     )
     lp_shape = None if ipm.cones.lp is None else ipm.cones.lp.A.shape
-    return (phase, shapes, lp_shape, ipm.m, extra)
+    ratio = (_RATIO_CFG["mode"], _RATIO_CFG["krylov"])
+    return (phase, shapes, lp_shape, ipm.m, ratio, extra)
 
 
 def solve_fused(ipm, d_only: bool = False):
@@ -1507,6 +1516,8 @@ def solve_fused(ipm, d_only: bool = False):
     f = ipm.f
     c = _cones_from_ipm(ipm)
     ipm.psdp = None
+    _RATIO_CFG["mode"] = p.ratio_test
+    _RATIO_CFG["krylov"] = p.lanczos_dim
 
     # ---- Phase A prologue (host, mirrors algo.phase_a before the loop)
     ipm.which_method = "infeas"
