@@ -41,6 +41,13 @@ class GroupArrays(NamedTuple):
     Ad: jnp.ndarray  # [md, n, n]
     didx: jnp.ndarray  # [md] int32
     dblk: jnp.ndarray  # [md] int32
+    # Optional gather map for the M accumulation: pos[i] = slot r with
+    # seg[0, r] == i (sentinel R if none).  Present only when g == 1 and
+    # each constraint owns at most one low-rank slot; it turns the m x m
+    # scatter-add — catastrophically slow on TPU (~75ns/element) — into a
+    # pure gather.  When absent, a one-hot MXU contraction is used; the
+    # general scatter is never emitted on the M path.
+    pos: Optional[jnp.ndarray] = None  # [m] int32
 
 
 class SchurOut(NamedTuple):
@@ -109,23 +116,36 @@ def group_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool = True) ->
     if with_m:
         W = jnp.einsum("grn,gsn->grs", FU, ga.F, optimize=True)  # F U F^T
         Q = (ga.lam[:, :, None] * ga.lam[:, None, :]) * (W * W)
-        M = jnp.zeros((m, m), U.dtype)
-        M = M.at[ga.seg[:, :, None], ga.seg[:, None, :]].add(Q)
+        M = accumulate_m(ga, Q, m)
 
         if md:
             # dense x dense within the same block
             same = (ga.dblk[:, None] == ga.dblk[None, :]).astype(U.dtype)
             Mdd = jnp.einsum("ipq,jpq->ij", B, ga.Ad, optimize=True) * same
-            M = M.at[ga.didx[:, None], ga.didx[None, :]].add(Mdd)
+            Ed = jax.nn.one_hot(ga.didx, m, dtype=U.dtype)  # [md, m]
+            M = M + jnp.einsum("ij,im,jn->mn", Mdd, Ed, Ed, optimize=True)
             # dense x low-rank cross: lam_r * u_r^T B_i u_r, same block
             Fb = ga.F[ga.dblk]  # [md,R,n]
             lamb = ga.lam[ga.dblk]  # [md,R]
             cross = lamb * _quadforms(Fb, B)  # [md,R]
             segb = ga.seg[ga.dblk]  # [md,R]
-            M = M.at[ga.didx[:, None], segb].add(cross)
-            M = M.at[segb, ga.didx[:, None]].add(cross)
+            Ec = jax.nn.one_hot(segb, m, dtype=U.dtype)  # [md,R,m]
+            Mx = jnp.einsum("ir,im,irn->mn", cross, Ed, Ec, optimize=True)
+            M = M + Mx + Mx.T
 
     return SchurOut(M=M, asinv=asinv, trSAS=trsas, trU=trU)
+
+
+def accumulate_m(ga: GroupArrays, Q: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Accumulate the low-rank pairwise contributions Q [g, R, R] into the
+    m x m Schur matrix WITHOUT a scatter: a gather through ga.pos when the
+    slot map is injective (single block group), else a one-hot einsum that
+    runs on the MXU."""
+    if ga.pos is not None:
+        Qp = jnp.pad(Q[0], ((0, 1), (0, 1)))
+        return Qp[ga.pos][:, ga.pos]
+    E = jax.nn.one_hot(ga.seg, m, dtype=Q.dtype)  # [g, R, m]
+    return jnp.einsum("grs,grm,gsn->mn", Q, E, E, optimize=True)
 
 
 def group_hsd(ga: GroupArrays, U: jnp.ndarray, m: int) -> HSDOut:

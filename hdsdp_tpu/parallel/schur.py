@@ -63,6 +63,7 @@ def pad_group(ga: GroupArrays, ndev: int) -> GroupArrays:
         Ad=jnp.asarray(_pad_axis(np.asarray(ga.Ad), 0, mdp)),
         didx=jnp.asarray(_pad_axis(np.asarray(ga.didx), 0, mdp)),
         dblk=jnp.asarray(_pad_axis(np.asarray(ga.dblk), 0, mdp)),
+        pos=None,  # sharded partials use the one-hot path
     )
 
 
@@ -114,10 +115,14 @@ def _group_schur_part(ga: GroupArrays, U, m: int, idx, ndev: int, with_m: bool):
     if with_m:
         # local rows x all columns of the low-rank Gram: covers every
         # ordered pair exactly once after psum (its transpose partner is
-        # produced by the device owning the other row).
+        # produced by the device owning the other row).  Accumulation is
+        # a one-hot MXU contraction: the equivalent scatter-add is
+        # ~75ns/element on TPU and would dominate the whole assembly.
         W = jnp.einsum("grn,gsn->grs", FU, ga.F, optimize=True)  # [g,Rloc,R]
         Q = (lam[:, :, None] * ga.lam[:, None, :]) * (W * W)
-        M = M.at[seg[:, :, None], ga.seg[:, None, :]].add(Q)
+        El = jax.nn.one_hot(seg, m, dtype=U.dtype)  # [g,Rloc,m]
+        Ef = jax.nn.one_hot(ga.seg, m, dtype=U.dtype)  # [g,R,m]
+        M = jnp.einsum("grs,grm,gsn->mn", Q, El, Ef, optimize=True)
 
     md = ga.Ad.shape[0]
     if md:
@@ -132,7 +137,11 @@ def _group_schur_part(ga: GroupArrays, U, m: int, idx, ndev: int, with_m: bool):
         if with_m:
             same = (dblk[:, None] == ga.dblk[None, :]).astype(U.dtype)
             Mdd = jnp.einsum("ipq,jpq->ij", B, ga.Ad, optimize=True) * same
-            M = M.at[didx[:, None], ga.didx[None, :]].add(Mdd)
+            Edl = jax.nn.one_hot(didx, m, dtype=U.dtype)  # [mdloc,m]
+            Edf = jax.nn.one_hot(ga.didx, m, dtype=U.dtype)  # [md,m]
+            M = M + jnp.einsum(
+                "ij,im,jn->mn", Mdd, Edl, Edf, optimize=True
+            )
             # dense x low-rank cross terms, both orientations, from the
             # device that owns the dense slot
             Fb = ga.F[dblk]  # [mdloc, R, n]
@@ -140,9 +149,10 @@ def _group_schur_part(ga: GroupArrays, U, m: int, idx, ndev: int, with_m: bool):
             cross = lamb * jnp.einsum(
                 "irn,inm,irm->ir", Fb, B, Fb, optimize=True
             )
-            segb = ga.seg[dblk]
-            M = M.at[didx[:, None], segb].add(cross)
-            M = M.at[segb, didx[:, None]].add(cross)
+            segb = ga.seg[dblk]  # [mdloc, R]
+            Ec = jax.nn.one_hot(segb, m, dtype=U.dtype)  # [mdloc,R,m]
+            Mx = jnp.einsum("ir,im,irn->mn", cross, Edl, Ec, optimize=True)
+            M = M + Mx + Mx.T
 
     return M, asinv, trsas
 

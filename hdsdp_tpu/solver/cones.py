@@ -200,6 +200,21 @@ class ConeSystem:
     def __init__(self, prob: SDPProblem, obj_scal: float = 1.0, dtype=jnp.float64):
         self.m = prob.m
         self.dtype = dtype
+        def _pos_map(g):
+            """Gather map for M accumulation (see GroupArrays.pos)."""
+            if g.nblk != 1:
+                return None
+            lam0 = np.asarray(g.lam[0])
+            seg0 = np.asarray(g.seg[0])
+            nz = np.nonzero(lam0 != 0.0)[0]
+            segs = seg0[nz]
+            if len(np.unique(segs)) != len(segs):
+                return None
+            R = g.F.shape[1]
+            pos = np.full(prob.m, R, np.int32)
+            pos[segs] = nz
+            return jnp.asarray(pos)
+
         self.groups: Tuple[GroupArrays, ...] = tuple(
             GroupArrays(
                 C=jnp.asarray(g.C * obj_scal, dtype),
@@ -209,6 +224,7 @@ class ConeSystem:
                 Ad=jnp.asarray(g.Ad, dtype),
                 didx=jnp.asarray(g.didx, jnp.int32),
                 dblk=jnp.asarray(g.dblk, jnp.int32),
+                pos=_pos_map(g),
             )
             for g in prob.groups
         )
