@@ -150,6 +150,67 @@ class SDPProblem:
         prob.features = _collect_features(prob)
         return prob
 
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_dense_blocks(
+        C_blocks: List[np.ndarray],
+        A_blocks: List[np.ndarray],
+        b: np.ndarray,
+        lp_A: Optional[np.ndarray] = None,
+        lp_c: Optional[np.ndarray] = None,
+        **kwargs,
+    ) -> "SDPProblem":
+        """Programmatic construction (ref HUserDataSetConeData /
+        HUserDataChooseCone, interface/hdsdp_user_data.c): one [n, n]
+        objective matrix and one [m, n, n] coefficient stack per SDP
+        block, plus an optional LP block (lp_A [m, nlp], lp_c [nlp])."""
+        from hdsdp_tpu.io.sdpa import BlockEntries, LPEntries, SDPAData
+
+        m = len(b)
+        data = SDPAData(
+            m=m,
+            block_dims=[C.shape[0] for C in C_blocks],
+            b=np.asarray(b, np.float64),
+        )
+        for C, A in zip(C_blocks, A_blocks):
+            n = C.shape[0]
+            if A.shape != (m, n, n):
+                raise ValueError(f"A stack must be [m, n, n], got {A.shape}")
+            il, jl = np.tril_indices(n)
+            cons, rows, cols, vals = [], [], [], []
+            for i, Mat in enumerate([C] + list(A)):
+                v = np.asarray(Mat)[il, jl]
+                keep = v != 0.0
+                cons.append(np.full(int(keep.sum()), i, np.int32))
+                rows.append(il[keep].astype(np.int32))
+                cols.append(jl[keep].astype(np.int32))
+                vals.append(v[keep])
+            data.blocks.append(
+                BlockEntries(
+                    dim=n,
+                    con=np.concatenate(cons),
+                    row=np.concatenate(rows),
+                    col=np.concatenate(cols),
+                    val=np.concatenate(vals),
+                )
+            )
+        if lp_A is not None:
+            nlp = lp_A.shape[1]
+            con_l = [np.zeros(nlp, np.int32)]
+            var_l = [np.arange(nlp, dtype=np.int32)]
+            val_l = [np.asarray(lp_c, np.float64)]
+            for i in range(m):
+                con_l.append(np.full(nlp, i + 1, np.int32))
+                var_l.append(np.arange(nlp, dtype=np.int32))
+                val_l.append(np.asarray(lp_A[i], np.float64))
+            data.lp = LPEntries(
+                ncols=nlp,
+                con=np.concatenate(con_l),
+                var=np.concatenate(var_l),
+                val=np.concatenate(val_l),
+            )
+        return SDPProblem.from_sdpa(data, **kwargs)
+
     # convenience
     @property
     def sum_cone_dims(self) -> int:

