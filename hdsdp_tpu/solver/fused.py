@@ -102,6 +102,9 @@ class State(NamedTuple):
     p_obj_found: jnp.ndarray
     maker_acc: Maker
     maker_inacc: Maker
+    # per-iteration log rows [max_iter, 6]:
+    # (pObj, dObj, inf, mu, step, extra) in internal units
+    log: jnp.ndarray
 
 
 # ----------------------------------------------------------------------
@@ -494,6 +497,11 @@ def _phase_a_iteration(c: Cones, p: Pars, st: State, corrector_a: int):
 
     # ---- bookkeeping (print_log updates d_obj_internal)
     st = st._replace(d_obj_internal=c.b @ st.y)
+    row = jnp.stack([
+        st.p_obj_internal, st.d_obj_internal, jnp.abs(st.Rd), st.mu,
+        st.d_step, st.prox_norm,
+    ])
+    st = st._replace(log=st.log.at[st.n_iter].set(row))
 
     # ---- convergence checks
     st = st._replace(
@@ -1083,6 +1091,11 @@ def _phase_b_iteration(c: Cones, p: Pars, st_ex, corrector_b: int,
 
     # log-equivalent bookkeeping
     st = st._replace(d_obj_internal=c.b @ st.y)
+    row = jnp.stack([
+        st.p_obj_internal, st.d_obj_internal, st.p_infeas, st.mu,
+        st.d_step, st.prox_norm,
+    ])
+    st = st._replace(log=st.log.at[st.n_iter].set(row))
     p_obj_val = st.p_obj_internal * p.pd_scal
     d_obj_val = st.d_obj_internal * p.pd_scal
     comp = p_obj_val - d_obj_val
@@ -1265,6 +1278,11 @@ def _hsd_iteration(c: Cones, hp: HsdPars, st: State):
             st.status,
         )
     )
+    row = jnp.stack([
+        jnp.asarray(1e+30), st.d_obj_internal, jnp.abs(st.Rd), st.mu,
+        st.d_step, st.tau,
+    ])
+    st = st._replace(log=st.log.at[st.n_iter].set(row))
     st = st._replace(
         status=jnp.where(
             jnp.logical_and(st.status == RUNNING, st.tau <= 1e-10),
@@ -1402,6 +1420,7 @@ def _state_from_ipm(ipm) -> State:
         p_obj_found=jnp.asarray(0, jnp.int32),
         maker_acc=maker_of(ipm.maker_acc),
         maker_inacc=maker_of(ipm.maker_inacc),
+        log=jnp.full((ipm.params.max_iter, 6), jnp.nan, d),
     )
 
 
@@ -1455,6 +1474,41 @@ _STATUS_MAP = {
 }
 
 
+def _print_fused_log(ipm, st: State, method: str, start_iter: int):
+    """Print the per-iteration rows captured inside the fused program."""
+    if not ipm.params.verbose:
+        return
+    import time as _time
+
+    rows = np.asarray(st.log)
+    end = min(int(st.n_iter), rows.shape[0])
+    pd = 1.0 / (ipm.rhs_scal * ipm.obj_scal)
+    nsum = max(ipm.f.n_sum_cone_dims, 1)
+    elapsed = _time.time() - ipm.time_begin
+    for i in range(start_iter, end):
+        pobj, dobj, inf, mu, step, extra = rows[i]
+        if not np.isfinite(dobj):
+            continue
+        if method == "hsd":
+            tau = max(extra, 1e-300)
+            inf_col = np.sqrt(nsum) * inf / (ipm.rhs_scal * tau)
+            ipm.log.iter_row(
+                method, i + 1, 1e+30, dobj * pd / tau, inf_col, mu, step,
+                extra, elapsed,
+            )
+        elif method == "potential":
+            ipm.log.iter_row(
+                method, i + 1, pobj * pd, dobj * pd, inf, mu, step, extra,
+                elapsed,
+            )
+        else:
+            inf_col = np.sqrt(nsum) * inf / ipm.rhs_scal
+            ipm.log.iter_row(
+                method, i + 1, pobj * pd, dobj * pd, inf_col, mu, step,
+                extra, elapsed,
+            )
+
+
 def _run_hsd_fused(ipm, c: Cones, d_only: bool):
     """Fused counterpart of algo.hsd_solve (ref hdsdp_algo.c:355-546)."""
     from hdsdp_tpu.solver import algo
@@ -1486,10 +1540,11 @@ def _run_hsd_fused(ipm, c: Cones, d_only: bool):
         _PROGRAM_CACHE[key] = make_hsd(c, hp, p.max_iter)
     st = _state_from_ipm(ipm)
     st = st._replace(status=jnp.asarray(RUNNING, jnp.int32))
+    start_iter = ipm.n_iter
     st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
     _sync_to_ipm(st, ipm)
     code = int(st.status)
-    ipm.print_log("hsd")
+    _print_fused_log(ipm, st, "hsd", start_iter)
     if code == DUAL_FEASIBLE:
         ipm.status = algo.DUAL_OPTIMAL if d_only else algo.DUAL_FEASIBLE
     else:
@@ -1540,11 +1595,12 @@ def solve_fused(ipm, d_only: bool = False):
             c, pars_a, p.corrector_a, p.max_iter, allow_reset, reset_rd
         )
     st = _state_from_ipm(ipm)
+    start_iter = ipm.n_iter
     st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
     _sync_to_ipm(st, ipm)
     code = int(st.status)
     ipm.status = _STATUS_MAP.get(code, algo.NUMERICAL)
-    ipm.print_log("infeas")
+    _print_fused_log(ipm, st, "infeas", start_iter)
 
     if code == SUSPECT:
         ipm.log.info("\nInfeasible method stops due to suspected infeasibility")
@@ -1576,10 +1632,11 @@ def solve_fused(ipm, d_only: bool = False):
             )
         st = _state_from_ipm(ipm)
         st = st._replace(perturb=jnp.asarray(ipm.perturb, ipm.dtype))
+        start_iter = ipm.n_iter
         st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
         _sync_to_ipm(st, ipm)
         code = int(st.status)
-        ipm.print_log("potential")
+        _print_fused_log(ipm, st, "potential", start_iter)
 
         if code == PSDP_HANDOFF:
             from hdsdp_tpu.solver.psdp import PSDPRefiner
