@@ -1079,7 +1079,13 @@ class DualIPM:
     # main entry (ref HDSDP_Conic_Solve, :1853-1870)
     # ------------------------------------------------------------------
     def solve(self, d_only: bool = False):
-        if self.params.fused:
+        fused = self.params.fused
+        if fused == "auto":
+            fused = (
+                self.m <= self.params.fused_max_m
+                and self.f.n_max_cone_dim <= self.params.fused_max_n
+            )
+        if fused:
             from hdsdp_tpu.solver.fused import solve_fused
 
             return solve_fused(self, d_only)

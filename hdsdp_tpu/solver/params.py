@@ -42,9 +42,15 @@ class Params:
     lanczos_dim: int = 30
     verbose: bool = True
     model_notes: str = ""
-    # fused=True compiles each IPM phase into a single XLA program
-    # (hdsdp_tpu.solver.fused); False keeps the host-driven reference loop
-    fused: bool = True
+    # Whole-phase fusion compiles each IPM phase into a single XLA
+    # program (hdsdp_tpu.solver.fused) — a huge win for small problems
+    # where per-op dispatch dominates, but XLA compile time explodes for
+    # large shapes where the host loop is compute-bound anyway.
+    # "auto" fuses iff m <= fused_max_m and max block dim <= fused_max_n;
+    # True/False force.
+    fused: object = "auto"
+    fused_max_m: int = 512
+    fused_max_n: int = 256
     # Schur system backend: "direct" dense Cholesky, "cg" Jacobi/stale-
     # Cholesky PCG (ref HDSDP_LINSYS_DENSE_ITERATIVE default), "auto"
     # picks cg above kkt_cg_threshold rows (host loop only; the fused
