@@ -48,6 +48,7 @@ INFEAS_OR_UNBOUNDED = "INFEAS_OR_UNBOUNDED"
 TIMELIMIT = "TIMELIMIT"
 NUMERICAL = "NUMERICAL"
 INTERNAL = "INTERNAL_ERROR"
+USER_INTERRUPT = "USER_INTERRUPT"
 
 
 @dataclass
@@ -1085,16 +1086,25 @@ class DualIPM:
                 self.m <= self.params.fused_max_m
                 and self.f.n_max_cone_dim <= self.params.fused_max_n
             )
-        if fused:
-            from hdsdp_tpu.solver.fused import solve_fused
+        try:
+            if fused:
+                from hdsdp_tpu.solver.fused import solve_fused
 
-            return solve_fused(self, d_only)
-        self.psdp = None
-        self.phase_a(d_only)
-        if self.status == SUSPECT_INFEAS_OR_UNBOUNDED:
-            self.log.info("\nInfeasible method stops due to suspected infeasibility")
-            self.hsd_solve(d_only)
-        elif self.status == DUAL_FEASIBLE:
-            self.log.info("\nInfeasible method finds a dual feasible solution")
-            self.phase_b()
+                return solve_fused(self, d_only)
+            self.psdp = None
+            self.phase_a(d_only)
+            if self.status == SUSPECT_INFEAS_OR_UNBOUNDED:
+                self.log.info(
+                    "\nInfeasible method stops due to suspected infeasibility"
+                )
+                self.hsd_solve(d_only)
+            elif self.status == DUAL_FEASIBLE:
+                self.log.info(
+                    "\nInfeasible method finds a dual feasible solution"
+                )
+                self.phase_b()
+        except KeyboardInterrupt:
+            # ref HUtilCheckCtrlC polling (hdsdp_utils.c:501-519)
+            self.log.info("\nUser interrupt")
+            self.status = USER_INTERRUPT
         return self.status

@@ -41,3 +41,14 @@ def test_from_dense_blocks_and_extraction():
     assert np.linalg.eigvalsh(Ss[0]).min() > -1e-10
     # strong duality: <C,X> ~ b'y
     assert np.sum(C * X) == pytest.approx(float(b @ y), rel=1e-4)
+
+
+def test_kkt_cross_validate_utility():
+    from hdsdp_tpu.models.synthetic import random_sdpa
+    from hdsdp_tpu.utils.kktcheck import kkt_cross_validate
+
+    prob = SDPProblem.from_sdpa(
+        random_sdpa(m=14, block_dims=[6, 4], n_lp=3, seed=2)
+    )
+    errs = kkt_cross_validate(prob)
+    assert max(errs.values()) < 1e-8
