@@ -112,21 +112,34 @@ def block_ratio(
     dS: jnp.ndarray,
     mode: str = "auto",
     krylov: int = 30,
+    use_f32: bool = True,
 ) -> jnp.ndarray:
     """Per-matrix max step for one block group, dispatching exact eigh vs
     Lanczos by mode and dimension (ref: the cone binds HLanczosSolve as
     its ratio test, hdsdp_conic_sdp.c:1392-1394; small cones are cheaper
-    exactly)."""
+    exactly).
+
+    The Lanczos path may run in f32 (use_f32): the estimate only sizes a
+    trial step, and every accepted step is re-verified by an f64 interior
+    check downstream; a 0.995 safety factor absorbs the reduced-precision
+    error in the bound.  f64 Lanczos on TPU is ~10x slower (emulated).
+    """
     n = L.shape[-1]
     if mode == "exact" or (mode == "auto" and n < AUTO_LANCZOS_DIM):
         return exact_ratio_test(L, dS)
     # deterministic start vector (warm starts are carried by the caller
     # in the reference; here a fixed slightly-perturbed vector suffices
     # because the safeguard keeps the bound conservative)
+    dt = jnp.float32 if use_f32 else L.dtype
+    Lc = L.astype(dt)
+    dSc = dS.astype(dt)
     v0 = jnp.broadcast_to(
-        1.0 + 1e-03 * jnp.arange(n, dtype=L.dtype), L.shape[:-2] + (n,)
+        (1.0 + 1e-03 * jnp.arange(n)).astype(dt), L.shape[:-2] + (n,)
     )
-    step, _ = lanczos_ratio_test(L, dS, v0, krylov=krylov)
+    step, _ = lanczos_ratio_test(Lc, dSc, v0, krylov=krylov)
+    step = step.astype(L.dtype)
+    if use_f32:
+        step = step * 0.995
     return step
 
 

@@ -286,6 +286,15 @@ class DualIPM:
             return self._cg.solve(fac, rhs)
         return jax.scipy.linalg.lu_solve(fac, rhs)
 
+    def solve_kkt_multi(self, rhs_list):
+        """Batch several right-hand sides into one triangular-solve pair."""
+        kind, fac = self.Mfac
+        if kind == "chol":
+            self._factor_stats["n_solve"] += len(rhs_list)
+            sols = chol_ops.chol_solve(fac, jnp.stack(rhs_list, axis=1))
+            return [sols[:, i] for i in range(len(rhs_list))]
+        return [self.solve_kkt(r) for r in rhs_list]
+
     # ------------------------------------------------------------------
     # step assembly + ratio tests
     # ------------------------------------------------------------------
@@ -562,9 +571,9 @@ class DualIPM:
             self.build_kkt("inf")
             self.regularize_kkt(0.0)
             self.factor_kkt()
-            self.d1 = self.solve_kkt(self.b)
-            self.d2 = self.solve_kkt(self.kkt.asinv)
-            self.d3 = self.solve_kkt(self.kkt.asinvrdsinv)
+            self.d1, self.d2, self.d3 = self.solve_kkt_multi(
+                [self.b, self.kkt.asinv, self.kkt.asinvrdsinv]
+            )
 
             p_obj_type = self.prox_measure()
             if p_obj_type < 0:
@@ -683,10 +692,10 @@ class DualIPM:
             self.build_kkt("hsd")
             self.regularize_kkt(0.0)
             self.factor_kkt()
-            self.d1 = self.solve_kkt(self.b)
-            self.d2 = self.solve_kkt(self.kkt.asinv)
-            self.d3 = self.solve_kkt(self.kkt.asinvrdsinv)
-            self.d4 = self.solve_kkt(self.kkt.asinvcsinv)
+            self.d1, self.d2, self.d3, self.d4 = self.solve_kkt_multi(
+                [self.b, self.kkt.asinv, self.kkt.asinvrdsinv,
+                 self.kkt.asinvcsinv]
+            )
 
             dtau, dy = self.hsd_build_step()
 
@@ -813,8 +822,7 @@ class DualIPM:
             if self.mu > 1.0:
                 self.regularize_kkt(1e-06)
             self.factor_kkt()
-            self.d1 = self.solve_kkt(self.b)
-            self.d2 = self.solve_kkt(self.kkt.asinv)
+            self.d1, self.d2 = self.solve_kkt_multi([self.b, self.kkt.asinv])
 
             p_obj_type = self.prox_measure()
             if p_obj_type < 0:
