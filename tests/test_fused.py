@@ -38,3 +38,18 @@ def test_fused_psdp_handoff():
     r = solver.optimize()
     assert r.status == "PRIMAL_DUAL_OPTIMAL"
     assert np.max(np.abs(r.dimacs)) < 1e-2
+
+
+def test_fused_gpp100(examples_dir):
+    """gpp100 has a C with nontrivial structure; fused must hit golden."""
+    r = solve_sdpa_file(f"{examples_dir}/gpp100.dat-s", verbose=False, fused=True)
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.d_obj == pytest.approx(44.94359, rel=1e-4)
+
+
+def test_dual_only_mode():
+    """d_only stops at a dual solution (ref HDSDPOptimize dOptOnly)."""
+    data = random_sdpa(m=20, block_dims=[10], seed=12)
+    prob = SDPProblem.from_sdpa(data)
+    r = HDSDPSolver(prob, verbose=False).optimize(d_only=True)
+    assert r.status in ("PRIMAL_DUAL_OPTIMAL", "DUAL_OPTIMAL", "DUAL_FEASIBLE")
