@@ -1090,15 +1090,18 @@ class DualIPM:
     def solve(self, d_only: bool = False):
         fused = self.params.fused
         if fused == "auto":
-            fused = (
+            small = (
                 self.m <= self.params.fused_max_m
                 and self.f.n_max_cone_dim <= self.params.fused_max_n
             )
+            fused = "phase" if small else "iter"
+        elif fused is True:
+            fused = "phase"
         try:
             if fused:
                 from hdsdp_tpu.solver.fused import solve_fused
 
-                return solve_fused(self, d_only)
+                return solve_fused(self, d_only, mode=fused)
             self.psdp = None
             self.phase_a(d_only)
             if self.status == SUSPECT_INFEAS_OR_UNBOUNDED:

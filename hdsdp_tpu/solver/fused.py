@@ -664,9 +664,9 @@ def _infeasible_corrector(c: Cones, p: Pars, st: State, Lm, n_max_corr: int):
     )
 
 
-def make_phase_a(c: Cones, p: Pars, corrector_a: int, max_iter: int,
-                 allow_reset: bool, reset_rd: float):
-    """Build the jitted fused Phase-A program."""
+def make_phase_a_body(c: Cones, p: Pars, corrector_a: int,
+                      allow_reset: bool, reset_rd: float):
+    """One Phase-A iteration incl. the n_iter==3 reset branch."""
 
     def do_reset(st: State):
         """algo.reset_start + interior check."""
@@ -698,6 +698,24 @@ def make_phase_a(c: Cones, p: Pars, corrector_a: int, max_iter: int,
             st,
         )
         return st
+
+    return body
+
+
+def make_phase_a(c: Cones, p: Pars, corrector_a: int, max_iter: int,
+                 allow_reset: bool, reset_rd: float, whole_phase: bool = True):
+    """Build the fused Phase-A program.
+
+    whole_phase=True wraps the iteration in an in-graph lax.while_loop
+    (one dispatch per phase; best for small shapes).  whole_phase=False
+    returns the jitted iteration BODY: the host drives the loop with one
+    dispatch + one status read-back per iteration — XLA's while-loop
+    compile time is pathological at large shapes while the body alone
+    compiles fine and runs ~14x faster than the op-by-op host loop.
+    """
+    body = make_phase_a_body(c, p, corrector_a, allow_reset, reset_rd)
+    if not whole_phase:
+        return jax.jit(body)
 
     def cond(st: State):
         return jnp.logical_and(st.status == RUNNING, st.n_iter < max_iter)
@@ -1145,23 +1163,30 @@ def _phase_b_iteration(c: Cones, p: Pars, st_ex, corrector_b: int,
     return st, force_detect, n_internal, corr_disable, no_p_obj_found
 
 
+def phase_b_init_extras():
+    """Initial auxiliary loop state for Phase B (see _phase_b_iteration)."""
+    return (
+        jnp.asarray(True),  # force_detect
+        jnp.asarray(0),  # n_internal
+        jnp.asarray(False),  # corrector disabled
+        jnp.asarray(0),  # no_p_obj_found
+    )
+
+
 def make_phase_b(c: Cones, p: Pars, corrector_b: int, max_iter: int,
-                 psdp_eligible: bool):
+                 psdp_eligible: bool, whole_phase: bool = True):
     def body(st_ex):
         return _phase_b_iteration(c, p, st_ex, corrector_b, psdp_eligible)
+
+    if not whole_phase:
+        return jax.jit(body)
 
     def cond(st_ex):
         st = st_ex[0]
         return jnp.logical_and(st.status == RUNNING, st.n_iter < max_iter)
 
     def run(st: State):
-        st_ex = (
-            st,
-            jnp.asarray(True),  # force_detect
-            jnp.asarray(0),  # n_internal
-            jnp.asarray(False),  # corrector disabled
-            jnp.asarray(0),  # no_p_obj_found
-        )
+        st_ex = (st,) + phase_b_init_extras()
         st_ex = jax.lax.while_loop(cond, body, st_ex)
         st = st_ex[0]
         st = st._replace(
@@ -1294,7 +1319,7 @@ def _hsd_iteration(c: Cones, hp: HsdPars, st: State):
     return st
 
 
-def make_hsd(c: Cones, hp: HsdPars, max_iter: int):
+def make_hsd(c: Cones, hp: HsdPars, max_iter: int, whole_phase: bool = True):
     def body(st: State):
         interior, st = check_interior(c, st, st.tau, st.y, with_bound=False)
 
@@ -1323,6 +1348,9 @@ def make_hsd(c: Cones, hp: HsdPars, max_iter: int):
             not_interior,
             st,
         )
+
+    if not whole_phase:
+        return jax.jit(body)
 
     def cond(st: State):
         return jnp.logical_and(st.status == RUNNING, st.n_iter < max_iter)
@@ -1464,6 +1492,7 @@ def _sync_to_ipm(st: State, ipm):
 
 
 _STATUS_MAP = {
+    -2: "TIMELIMIT",
     DUAL_FEASIBLE: "DUAL_FEASIBLE",
     SUSPECT: "SUSPECT_INFEAS_OR_UNBOUNDED",
     MAXITER: "MAXITER",
@@ -1509,7 +1538,7 @@ def _print_fused_log(ipm, st: State, method: str, start_iter: int):
             )
 
 
-def _run_hsd_fused(ipm, c: Cones, d_only: bool):
+def _run_hsd_fused(ipm, c: Cones, d_only: bool, whole: bool = True):
     """Fused counterpart of algo.hsd_solve (ref hdsdp_algo.c:355-546)."""
     from hdsdp_tpu.solver import algo
 
@@ -1535,13 +1564,16 @@ def _run_hsd_fused(ipm, c: Cones, d_only: bool):
         ),
         pd_base=jnp.asarray(1.0 / (ipm.rhs_scal * ipm.obj_scal), d),
     )
-    key = _cache_key(ipm, "hsd", (p.max_iter,))
+    key = _cache_key(ipm, "hsd", (p.max_iter, whole))
     if key not in _PROGRAM_CACHE:
-        _PROGRAM_CACHE[key] = make_hsd(c, hp, p.max_iter)
+        _PROGRAM_CACHE[key] = make_hsd(c, hp, p.max_iter, whole_phase=whole)
     st = _state_from_ipm(ipm)
     st = st._replace(status=jnp.asarray(RUNNING, jnp.int32))
     start_iter = ipm.n_iter
-    st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
+    if whole:
+        st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
+    else:
+        st = _drive_iterated(ipm, _PROGRAM_CACHE[key], st, p.max_iter, False)
     _sync_to_ipm(st, ipm)
     code = int(st.status)
     _print_fused_log(ipm, st, "hsd", start_iter)
@@ -1563,11 +1595,40 @@ def _cache_key(ipm, phase, extra):
     return (phase, shapes, lp_shape, ipm.m, ratio, extra)
 
 
-def solve_fused(ipm, d_only: bool = False):
-    """Fused counterpart of DualIPM.solve (phases A and B; HSD on host)."""
+def _drive_iterated(ipm, body_fn, st, max_iter: int, is_phase_b: bool):
+    """Host-driven loop over a jitted iteration body (iteration-fused
+    mode): one dispatch + one status read-back per iteration, with
+    wall-clock timeout checking the in-graph loop cannot do."""
+    import time as _time
+
+    extras = phase_b_init_extras() if is_phase_b else None
+    while True:
+        if is_phase_b:
+            out = body_fn((st,) + extras)
+            st, extras = out[0], out[1:]
+        else:
+            st = body_fn(st)
+        code = int(st.status)
+        if code != RUNNING:
+            return st
+        if int(st.n_iter) >= max_iter:
+            return st._replace(status=jnp.asarray(MAXITER, jnp.int32))
+        if _time.time() - ipm.time_begin >= ipm.params.time_limit:
+            return st._replace(status=jnp.asarray(-2, jnp.int32))  # TIMELIMIT
+
+
+def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
+    """Fused counterpart of DualIPM.solve.
+
+    mode="phase": each phase is one in-graph while-loop dispatch.
+    mode="iter": the jitted iteration body is dispatched per iteration
+    (large shapes, where the while-loop wrapper's compile time is
+    pathological but the body compiles fine).
+    """
     from hdsdp_tpu.solver import algo
 
     p = ipm.params
+    whole = mode == "phase"
     f = ipm.f
     c = _cones_from_ipm(ipm)
     ipm.psdp = None
@@ -1589,14 +1650,18 @@ def solve_fused(ipm, d_only: bool = False):
     reset_rd = max(-max(f.obj_fro_norm, 1e+02) * 1e+06, -1e+15)
     pars_a = _pars_from_ipm(ipm, "a")
 
-    key = _cache_key(ipm, "a", (p.corrector_a, p.max_iter, allow_reset))
+    key = _cache_key(ipm, "a", (p.corrector_a, p.max_iter, allow_reset, whole))
     if key not in _PROGRAM_CACHE:
         _PROGRAM_CACHE[key] = make_phase_a(
-            c, pars_a, p.corrector_a, p.max_iter, allow_reset, reset_rd
+            c, pars_a, p.corrector_a, p.max_iter, allow_reset, reset_rd,
+            whole_phase=whole,
         )
     st = _state_from_ipm(ipm)
     start_iter = ipm.n_iter
-    st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
+    if whole:
+        st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
+    else:
+        st = _drive_iterated(ipm, _PROGRAM_CACHE[key], st, p.max_iter, False)
     _sync_to_ipm(st, ipm)
     code = int(st.status)
     ipm.status = _STATUS_MAP.get(code, algo.NUMERICAL)
@@ -1604,7 +1669,7 @@ def solve_fused(ipm, d_only: bool = False):
 
     if code == SUSPECT:
         ipm.log.info("\nInfeasible method stops due to suspected infeasibility")
-        return _run_hsd_fused(ipm, c, d_only)
+        return _run_hsd_fused(ipm, c, d_only, whole=whole)
     if code != DUAL_FEASIBLE:
         return ipm.status
 
@@ -1625,15 +1690,21 @@ def solve_fused(ipm, d_only: bool = False):
     psdp_eligible = bool(p.psdp)
 
     while True:
-        key = _cache_key(ipm, "b", (p.corrector_b, p.max_iter, psdp_eligible))
+        key = _cache_key(
+            ipm, "b", (p.corrector_b, p.max_iter, psdp_eligible, whole)
+        )
         if key not in _PROGRAM_CACHE:
             _PROGRAM_CACHE[key] = make_phase_b(
-                c, pars_b, p.corrector_b, p.max_iter, psdp_eligible
+                c, pars_b, p.corrector_b, p.max_iter, psdp_eligible,
+                whole_phase=whole,
             )
         st = _state_from_ipm(ipm)
         st = st._replace(perturb=jnp.asarray(ipm.perturb, ipm.dtype))
         start_iter = ipm.n_iter
-        st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
+        if whole:
+            st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
+        else:
+            st = _drive_iterated(ipm, _PROGRAM_CACHE[key], st, p.max_iter, True)
         _sync_to_ipm(st, ipm)
         code = int(st.status)
         _print_fused_log(ipm, st, "potential", start_iter)

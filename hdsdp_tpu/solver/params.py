@@ -42,12 +42,15 @@ class Params:
     lanczos_dim: int = 30
     verbose: bool = True
     model_notes: str = ""
-    # Whole-phase fusion compiles each IPM phase into a single XLA
-    # program (hdsdp_tpu.solver.fused) — a huge win for small problems
-    # where per-op dispatch dominates, but XLA compile time explodes for
-    # large shapes where the host loop is compute-bound anyway.
-    # "auto" fuses iff m <= fused_max_m and max block dim <= fused_max_n;
-    # True/False force.
+    # Fusion mode for the IPM phases (hdsdp_tpu.solver.fused):
+    #   "phase" — each phase is ONE in-graph while-loop dispatch (best
+    #             for small shapes; XLA's while-loop compile time is
+    #             pathological at large ones),
+    #   "iter"  — the jitted iteration body is dispatched per iteration
+    #             (large shapes; ~4-14x faster than the op-by-op loop),
+    #   False   — host-driven reference loop (debugging),
+    #   "auto"  — "phase" iff m <= fused_max_m and max block dim <=
+    #             fused_max_n, else "iter".
     fused: object = "auto"
     fused_max_m: int = 512
     fused_max_n: int = 256

@@ -53,3 +53,15 @@ def test_dual_only_mode():
     prob = SDPProblem.from_sdpa(data)
     r = HDSDPSolver(prob, verbose=False).optimize(d_only=True)
     assert r.status in ("PRIMAL_DUAL_OPTIMAL", "DUAL_OPTIMAL", "DUAL_FEASIBLE")
+
+
+def test_iter_mode_matches_phase_mode():
+    """Iteration-fused and whole-phase programs share the same body and
+    must agree bitwise on the iterates."""
+    data = random_sdpa(m=24, block_dims=[10, 6], n_lp=5, seed=3)
+    prob = SDPProblem.from_sdpa(data)
+    rp = HDSDPSolver(prob, verbose=False, fused="phase").optimize()
+    ri = HDSDPSolver(prob, verbose=False, fused="iter").optimize()
+    assert rp.status == ri.status == "PRIMAL_DUAL_OPTIMAL"
+    assert rp.n_iters == ri.n_iters
+    assert rp.d_obj == pytest.approx(ri.d_obj, rel=1e-12)
