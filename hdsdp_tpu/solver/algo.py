@@ -1090,11 +1090,18 @@ class DualIPM:
     def solve(self, d_only: bool = False):
         fused = self.params.fused
         if fused == "auto":
-            small = (
-                self.m <= self.params.fused_max_m
-                and self.f.n_max_cone_dim <= self.params.fused_max_n
-            )
-            fused = "phase" if small else "iter"
+            from hdsdp_tpu.parallel.schur import ShardedConeSystem
+
+            if isinstance(self.cones, ShardedConeSystem):
+                # the fused programs use the single-chip kernels; a mesh
+                # run wants the sharded assembly in the host loop
+                fused = False
+            else:
+                small = (
+                    self.m <= self.params.fused_max_m
+                    and self.f.n_max_cone_dim <= self.params.fused_max_n
+                )
+                fused = "phase" if small else "iter"
         elif fused is True:
             fused = "phase"
         try:
