@@ -1407,21 +1407,26 @@ def _pars_from_ipm(ipm, phase: str) -> Pars:
 def _state_from_ipm(ipm) -> State:
     d = ipm.dtype
     m = ipm.m
-    zero_m = jnp.zeros((m,), d)
+    np_d = np.dtype(d.dtype if hasattr(d, "dtype") else d)
+    zero_m = np.zeros((m,), np_d)
 
     def scal(v):
-        return jnp.asarray(v, d)
+        # host scalar: the jit call batches all transfers in one dispatch
+        # (eager jnp.asarray costs ~8ms of op dispatch EACH over the
+        # tunnel, ~20 of them per phase launch)
+        return np.asarray(v, np_d)
 
-    Schk = tuple(jnp.zeros_like(Sg) for Sg in ipm.S)
+    Schk = tuple(np.zeros(Sg.shape, np_d) for Sg in ipm.S)
     maker0 = Maker(mu=scal(-1.0), y=zero_m, dy=zero_m)
 
     def maker_of(mk):
         if mk.mu is None or mk.mu <= 0 or mk.y is None:
             return maker0
-        return Maker(mu=scal(mk.mu), y=jnp.asarray(mk.y, d), dy=jnp.asarray(mk.dy, d))
+        return Maker(mu=scal(mk.mu), y=np.asarray(mk.y, np_d),
+                     dy=np.asarray(mk.dy, np_d))
 
     return State(
-        y=jnp.asarray(ipm.y, d),
+        y=ipm.y if hasattr(ipm.y, "devices") else np.asarray(ipm.y, np_d),
         Rd=scal(ipm.Rd),
         mu=scal(ipm.mu),
         perturb=scal(ipm.perturb),
@@ -1430,11 +1435,13 @@ def _state_from_ipm(ipm) -> State:
         S=tuple(ipm.S),
         s_lp=ipm.s_lp,
         L=tuple(ipm.L),
-        sl=jnp.asarray(ipm.sl, d),
-        su=jnp.asarray(ipm.su, d),
+        sl=ipm.sl if hasattr(ipm.sl, "devices") else np.asarray(ipm.sl, np_d),
+        su=ipm.su if hasattr(ipm.su, "devices") else np.asarray(ipm.su, np_d),
         Schk=Schk,
-        s_lp_chk=jnp.zeros_like(ipm.s_lp) if ipm.s_lp is not None else None,
-        Lchk=tuple(jnp.zeros_like(Lg) for Lg in ipm.L),
+        s_lp_chk=(
+            np.zeros(ipm.s_lp.shape, np_d) if ipm.s_lp is not None else None
+        ),
+        Lchk=tuple(np.zeros(Lg.shape, np_d) for Lg in ipm.L),
         sl_chk=zero_m,
         su_chk=zero_m,
         prox_norm=scal(ipm.prox_norm),
@@ -1442,13 +1449,13 @@ def _state_from_ipm(ipm) -> State:
         d_obj_internal=scal(ipm.d_obj_internal),
         p_infeas=scal(ipm.p_infeas),
         d_step=scal(ipm.d_step),
-        n_small_step=jnp.asarray(ipm.n_small_step, jnp.int32),
-        n_iter=jnp.asarray(ipm.n_iter, jnp.int32),
-        status=jnp.asarray(RUNNING, jnp.int32),
-        p_obj_found=jnp.asarray(0, jnp.int32),
+        n_small_step=np.asarray(ipm.n_small_step, np.int32),
+        n_iter=np.asarray(ipm.n_iter, np.int32),
+        status=np.asarray(RUNNING, np.int32),
+        p_obj_found=np.asarray(0, np.int32),
         maker_acc=maker_of(ipm.maker_acc),
         maker_inacc=maker_of(ipm.maker_inacc),
-        log=jnp.full((ipm.params.max_iter, 6), jnp.nan, d),
+        log=np.full((ipm.params.max_iter, 6), np.nan, np_d),
     )
 
 
