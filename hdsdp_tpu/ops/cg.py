@@ -135,7 +135,12 @@ class AdaptiveCG:
 
     Carries a possibly stale Cholesky preconditioner across consecutive
     KKT systems (the ADPCG idea): refreshed only when CG with the stale
-    factor stops converging quickly.
+    factor stops converging quickly.  Multi-RHS solves vmap the single
+    while-loop PCG over the columns (one dispatch for all right-hand
+    sides).  Callers must check ``last_status`` / the ``ok`` flag of the
+    *_checked entry points: on failure the caller escalates to a direct
+    factorization (ref HFpLinsysSwitchToIndefinite,
+    hdsdp_linsolver.c:1827-1857) instead of iterating on NaNs.
     """
 
     def __init__(self, max_iter=None, restart_freq=20,
@@ -149,48 +154,61 @@ class AdaptiveCG:
         self.n_factor = 0
         self.n_solve = 0
         self.last_iters = 0
+        self.last_status = STATUS_OK
 
     def _direct_factor(self, M):
         L = jnp.linalg.cholesky(M)
         self.n_factor += 1
         return L
 
-    def solve(self, M, rhs):
-        """Solve M x = rhs, updating the preconditioner policy."""
-        self.n_solve += 1
+    def _run(self, M, rhs_mat, precond, use_chol):
+        """Vmapped PCG over RHS columns: rhs_mat [m, k] -> CGResult batched."""
         m = M.shape[0]
         max_iter = self.max_iter or max(50, m // 20)
+        f = partial(
+            pcg, max_iter=max_iter, restart_freq=self.restart_freq,
+            abs_tol=self.abs_tol, rel_tol=self.rel_tol, use_chol=use_chol,
+        )
+        return jax.vmap(f, in_axes=(None, 1, None))(M, rhs_mat, precond)
+
+    def solve_mat_checked(self, M, rhs_mat):
+        """Solve M X = rhs_mat [m, k].  Returns (X [m, k], ok)."""
+        k = rhs_mat.shape[1]
+        self.n_solve += k
 
         if self.chol_fac is not None:
             # stale-Cholesky-preconditioned CG (usually 1-5 iterations)
-            res = pcg(
-                M, rhs, self.chol_fac, max_iter=max_iter,
-                restart_freq=self.restart_freq, abs_tol=self.abs_tol,
-                rel_tol=self.rel_tol, use_chol=True,
-            )
-            self.last_iters = int(res.iters)
-            if int(res.status) == STATUS_OK:
+            res = self._run(M, rhs_mat, self.chol_fac, True)
+            self.last_iters = int(jnp.max(res.iters))
+            if bool(jnp.all(res.status == STATUS_OK)):
+                self.last_status = STATUS_OK
                 if self.last_iters > self.reuse_threshold:
                     self.chol_fac = None  # refresh next time
-                return res.x
+                return res.x.T, True
             self.chol_fac = None
 
         # Jacobi CG first (ref default), escalate to Cholesky on stall
-        diag = jnp.diag(M)
-        res = pcg(
-            M, rhs, diag, max_iter=max_iter,
-            restart_freq=self.restart_freq, abs_tol=self.abs_tol,
-            rel_tol=self.rel_tol, use_chol=False,
-        )
-        self.last_iters = int(res.iters)
-        if int(res.status) == STATUS_OK:
-            return res.x
+        res = self._run(M, rhs_mat, jnp.diag(M), False)
+        self.last_iters = int(jnp.max(res.iters))
+        if bool(jnp.all(res.status == STATUS_OK)):
+            self.last_status = STATUS_OK
+            return res.x.T, True
 
         self.chol_fac = self._direct_factor(M)
-        res = pcg(
-            M, rhs, self.chol_fac, max_iter=max_iter,
-            restart_freq=self.restart_freq, abs_tol=self.abs_tol,
-            rel_tol=self.rel_tol, use_chol=True,
-        )
-        self.last_iters = int(res.iters)
-        return res.x
+        res = self._run(M, rhs_mat, self.chol_fac, True)
+        self.last_iters = int(jnp.max(res.iters))
+        self.last_status = int(jnp.max(res.status))
+        ok = bool(jnp.all(res.status == STATUS_OK))
+        if not ok:
+            self.chol_fac = None  # the factor did not help; drop it
+        return res.x.T, ok
+
+    def solve_checked(self, M, rhs):
+        """Solve M x = rhs.  Returns (x, ok)."""
+        x, ok = self.solve_mat_checked(M, rhs[:, None])
+        return x[:, 0], ok
+
+    def solve(self, M, rhs):
+        """Solve M x = rhs (unchecked; prefer solve_checked)."""
+        x, _ = self.solve_checked(M, rhs)
+        return x

@@ -246,24 +246,9 @@ class DualIPM:
             M = self.kkt.M + reg * jnp.eye(self.m, dtype=self.dtype)
             self.kkt = self.kkt._replace(M=M)
 
-    def factor_kkt(self) -> None:
-        """Cholesky with a regularization ladder (fallback for indefinite M,
-        analogue of the CG -> LDL switch, ref hdsdp_linsolver.c:1827-1857).
-        With kkt_solver="cg" the factorization is deferred: solves go
-        through AdaptiveCG (ref conjGradSolve + ADPCG policy)."""
-        self._factor_stats["n_factor"] += 1
-        M = self.kkt.M
-        use_cg = self.params.kkt_solver == "cg" or (
-            self.params.kkt_solver == "auto"
-            and self.m >= self.params.kkt_cg_threshold
-        )
-        if use_cg:
-            if not hasattr(self, "_cg"):
-                from hdsdp_tpu.ops.cg import AdaptiveCG
-
-                self._cg = AdaptiveCG(abs_tol=1e-10, rel_tol=1e-10)
-            self.Mfac = ("cg", M)
-            return
+    def _direct_factor(self, M) -> None:
+        """Cholesky with a regularization ladder + LU fallback (the direct
+        analogue of the CG -> LDL switch, ref hdsdp_linsolver.c:1827-1857)."""
         L = jnp.linalg.cholesky(M)
         if bool(jnp.all(jnp.isfinite(L))):
             self.Mfac = ("chol", L)
@@ -277,22 +262,54 @@ class DualIPM:
                 return
         self.Mfac = ("lu", jax.scipy.linalg.lu_factor(M))
 
+    def factor_kkt(self) -> None:
+        """Factor (or defer) the Schur system.  With kkt_solver="cg" the
+        factorization is deferred: solves go through AdaptiveCG (ref
+        conjGradSolve + ADPCG policy) and escalate to the direct ladder on
+        CG failure."""
+        self._factor_stats["n_factor"] += 1
+        M = self.kkt.M
+        use_cg = self.params.kkt_solver == "cg" or (
+            self.params.kkt_solver == "auto"
+            and self.m >= self.params.kkt_cg_threshold
+        )
+        if use_cg:
+            if not hasattr(self, "_cg"):
+                from hdsdp_tpu.ops.cg import AdaptiveCG
+
+                self._cg = AdaptiveCG(abs_tol=1e-10, rel_tol=1e-10)
+            self.Mfac = ("cg", M)
+            return
+        self._direct_factor(M)
+
     def solve_kkt(self, rhs: jnp.ndarray) -> jnp.ndarray:
         self._factor_stats["n_solve"] += 1
         kind, fac = self.Mfac
         if kind == "chol":
             return chol_ops.chol_solve(fac, rhs)
         if kind == "cg":
-            return self._cg.solve(fac, rhs)
+            x, ok = self._cg.solve_checked(fac, rhs)
+            if ok:
+                return x
+            # CG failed even with a fresh Cholesky preconditioner:
+            # escalate to the direct ladder (ref hdsdp_linsolver.c:1827-1857)
+            self._direct_factor(fac)
+            return self.solve_kkt(rhs)
         return jax.scipy.linalg.lu_solve(fac, rhs)
 
     def solve_kkt_multi(self, rhs_list):
-        """Batch several right-hand sides into one triangular-solve pair."""
+        """Batch several right-hand sides into one dispatch."""
         kind, fac = self.Mfac
         if kind == "chol":
             self._factor_stats["n_solve"] += len(rhs_list)
             sols = chol_ops.chol_solve(fac, jnp.stack(rhs_list, axis=1))
             return [sols[:, i] for i in range(len(rhs_list))]
+        if kind == "cg":
+            self._factor_stats["n_solve"] += len(rhs_list)
+            X, ok = self._cg.solve_mat_checked(fac, jnp.stack(rhs_list, axis=1))
+            if ok:
+                return [X[:, i] for i in range(len(rhs_list))]
+            self._direct_factor(fac)
         return [self.solve_kkt(r) for r in rhs_list]
 
     # ------------------------------------------------------------------
@@ -613,6 +630,8 @@ class DualIPM:
             self.Rd = self.Rd * (1.0 - gamma * self.d_step)
 
             if not self.infeasible_corrector():
+                if self.status == SUSPECT_INFEAS_OR_UNBOUNDED:
+                    break  # preserve SUSPECT: hand off to the HSD phase
                 self.status = NUMERICAL
                 return
             self.print_log("infeas")
@@ -867,9 +886,15 @@ class DualIPM:
                 from hdsdp_tpu.solver.psdp import PSDPRefiner
 
                 refiner = PSDPRefiner(self)
-                if refiner.optimize():
+                refined = refiner.optimize()
+                if refined and refiner.converged:
                     self.psdp = refiner
                     break
+                if refined:
+                    # partial refinement (ref hdsdp_algo.c:1804-1815): keep
+                    # the refined primal iterate but resume potential
+                    # reduction with PSDP disabled
+                    self.psdp = refiner
                 use_psdp = 0
 
             if self.n_small_step > 3:

@@ -404,6 +404,9 @@ def _phase_a_iteration(c: Cones, p: Pars, st: State, corrector_a: int):
     kkt = (M, asinv_b, asinvrdsinv) + kkt[3:]
 
     Lm, ok_m = factor_m(M)
+    # failed KKT factorization terminates the phase deterministically
+    # (otherwise NaN directions spin the loop to MAXITER)
+    st = st._replace(status=jnp.where(ok_m, st.status, NUMERICAL))
     rhs3 = jnp.stack([c.b, asinv_b, asinvrdsinv], axis=1)
     sols = solve_m(Lm, rhs3)
     d1, d2, d3 = sols[:, 0], sols[:, 1], sols[:, 2]
@@ -493,7 +496,15 @@ def _phase_a_iteration(c: Cones, p: Pars, st: State, corrector_a: int):
 
     # ---- infeasible corrector (algo.infeasible_corrector)
     st, corr_ok = _infeasible_corrector(c, p, st, Lm, corrector_a)
-    st = st._replace(status=jnp.where(corr_ok, st.status, NUMERICAL))
+    # a corrector interior-check failure must not overwrite a SUSPECT (or
+    # any other terminal) status: SUSPECT hands off to the HSD phase
+    st = st._replace(
+        status=jnp.where(
+            jnp.logical_or(corr_ok, st.status != RUNNING),
+            st.status,
+            NUMERICAL,
+        )
+    )
 
     # ---- bookkeeping (print_log updates d_obj_internal)
     st = st._replace(d_obj_internal=c.b @ st.y)
@@ -664,8 +675,8 @@ def _infeasible_corrector(c: Cones, p: Pars, st: State, Lm, n_max_corr: int):
     )
 
 
-def make_phase_a_body(c: Cones, p: Pars, corrector_a: int,
-                      allow_reset: bool, reset_rd: float):
+def _phase_a_body(c: Cones, p: Pars, reset_rd, st: State,
+                  corrector_a: int, allow_reset: bool):
     """One Phase-A iteration incl. the n_iter==3 reset branch."""
 
     def do_reset(st: State):
@@ -673,7 +684,7 @@ def make_phase_a_body(c: Cones, p: Pars, corrector_a: int,
         st = st._replace(
             y=jnp.zeros_like(st.y),
             p_obj_internal=jnp.asarray(1e+15),
-            Rd=jnp.asarray(reset_rd),
+            Rd=reset_rd,
         )
         interior, st = check_interior(c, st, 1.0, st.y)
         st = st._replace(
@@ -681,30 +692,33 @@ def make_phase_a_body(c: Cones, p: Pars, corrector_a: int,
         )
         return st
 
-    def body(st: State):
-        st = jax.lax.cond(
-            jnp.logical_and(
-                jnp.asarray(allow_reset),
-                jnp.logical_and(st.n_iter == 3, st.p_obj_found == 0),
-            ),
-            do_reset,
-            lambda s: s,
-            st,
-        )
-        st = jax.lax.cond(
-            st.status == RUNNING,
-            lambda s: _phase_a_iteration(c, p, s, corrector_a),
-            lambda s: s,
-            st,
-        )
-        return st
-
-    return body
+    st = jax.lax.cond(
+        jnp.logical_and(
+            jnp.asarray(allow_reset),
+            jnp.logical_and(st.n_iter == 3, st.p_obj_found == 0),
+        ),
+        do_reset,
+        lambda s: s,
+        st,
+    )
+    st = jax.lax.cond(
+        st.status == RUNNING,
+        lambda s: _phase_a_iteration(c, p, s, corrector_a),
+        lambda s: s,
+        st,
+    )
+    return st
 
 
-def make_phase_a(c: Cones, p: Pars, corrector_a: int, max_iter: int,
-                 allow_reset: bool, reset_rd: float, whole_phase: bool = True):
+def make_phase_a(corrector_a: int, max_iter: int,
+                 allow_reset: bool, whole_phase: bool = True):
     """Build the fused Phase-A program.
+
+    The problem data (Cones), tolerances (Pars) and the reset residual are
+    runtime ARGUMENTS of the jitted program, not baked-in constants: cached
+    programs are keyed by bucketed shapes only, so solving a second problem
+    with identical shapes in the same process reuses the compiled code but
+    never the first problem's data.
 
     whole_phase=True wraps the iteration in an in-graph lax.while_loop
     (one dispatch per phase; best for small shapes).  whole_phase=False
@@ -713,14 +727,19 @@ def make_phase_a(c: Cones, p: Pars, corrector_a: int, max_iter: int,
     compile time is pathological at large shapes while the body alone
     compiles fine and runs ~14x faster than the op-by-op host loop.
     """
-    body = make_phase_a_body(c, p, corrector_a, allow_reset, reset_rd)
     if not whole_phase:
+        def body(st, c, p, reset_rd):
+            return _phase_a_body(c, p, reset_rd, st, corrector_a, allow_reset)
+
         return jax.jit(body)
 
-    def cond(st: State):
-        return jnp.logical_and(st.status == RUNNING, st.n_iter < max_iter)
+    def run(st: State, c: Cones, p: Pars, reset_rd):
+        def cond(st: State):
+            return jnp.logical_and(st.status == RUNNING, st.n_iter < max_iter)
 
-    def run(st: State):
+        def body(st: State):
+            return _phase_a_body(c, p, reset_rd, st, corrector_a, allow_reset)
+
         st = jax.lax.while_loop(cond, body, st)
         st = st._replace(
             status=jnp.where(st.status == RUNNING, MAXITER, st.status)
@@ -1068,6 +1087,7 @@ def _phase_b_iteration(c: Cones, p: Pars, st_ex, corrector_b: int,
     kkt = (M, asinv_b, asinvrdsinv) + kkt[3:]
 
     Lm, ok_m = factor_m(M)
+    st = st._replace(status=jnp.where(ok_m, st.status, NUMERICAL))
     sols = solve_m(Lm, jnp.stack([c.b, asinv_b], axis=1))
     d1, d2 = sols[:, 0], sols[:, 1]
 
@@ -1173,19 +1193,22 @@ def phase_b_init_extras():
     )
 
 
-def make_phase_b(c: Cones, p: Pars, corrector_b: int, max_iter: int,
+def make_phase_b(corrector_b: int, max_iter: int,
                  psdp_eligible: bool, whole_phase: bool = True):
-    def body(st_ex):
-        return _phase_b_iteration(c, p, st_ex, corrector_b, psdp_eligible)
-
     if not whole_phase:
+        def body(st_ex, c, p):
+            return _phase_b_iteration(c, p, st_ex, corrector_b, psdp_eligible)
+
         return jax.jit(body)
 
-    def cond(st_ex):
-        st = st_ex[0]
-        return jnp.logical_and(st.status == RUNNING, st.n_iter < max_iter)
+    def run(st: State, c: Cones, p: Pars):
+        def cond(st_ex):
+            st = st_ex[0]
+            return jnp.logical_and(st.status == RUNNING, st.n_iter < max_iter)
 
-    def run(st: State):
+        def body(st_ex):
+            return _phase_b_iteration(c, p, st_ex, corrector_b, psdp_eligible)
+
         st_ex = (st,) + phase_b_init_extras()
         st_ex = jax.lax.while_loop(cond, body, st_ex)
         st = st_ex[0]
@@ -1234,6 +1257,7 @@ def _hsd_iteration(c: Cones, hp: HsdPars, st: State):
     kkt = build_kkt(c, st.L, st.s_lp, st.Rd, "hsd")
     (M, asinv, asinvrdsinv, asinvcsinv, *_rest) = kkt
     Lm, ok_m = factor_m(M)
+    st = st._replace(status=jnp.where(ok_m, st.status, NUMERICAL))
     rhs4 = jnp.stack([c.b, asinv, asinvrdsinv, asinvcsinv], axis=1)
     sols = solve_m(Lm, rhs4)
     d1, d2, d3, d4 = sols[:, 0], sols[:, 1], sols[:, 2], sols[:, 3]
@@ -1319,44 +1343,48 @@ def _hsd_iteration(c: Cones, hp: HsdPars, st: State):
     return st
 
 
-def make_hsd(c: Cones, hp: HsdPars, max_iter: int, whole_phase: bool = True):
-    def body(st: State):
-        interior, st = check_interior(c, st, st.tau, st.y, with_bound=False)
+def _hsd_body(c: Cones, hp: HsdPars, st: State):
+    interior, st = check_interior(c, st, st.tau, st.y, with_bound=False)
 
-        def first_reset(st):
-            # ref :641-647: inflate residual, reset, retry next iteration
-            st = st._replace(
-                y=jnp.zeros_like(st.y),
-                tau=jnp.asarray(1.0),
-                p_obj_internal=jnp.asarray(1e+15),
-                Rd=hp.reset_rd,
-                n_iter=st.n_iter + 1,
-            )
-            return st
+    def first_reset(st):
+        # ref :641-647: inflate residual, reset, retry next iteration
+        st = st._replace(
+            y=jnp.zeros_like(st.y),
+            tau=jnp.asarray(1.0),
+            p_obj_internal=jnp.asarray(1e+15),
+            Rd=hp.reset_rd,
+            n_iter=st.n_iter + 1,
+        )
+        return st
 
-        def not_interior(st):
-            return jax.lax.cond(
-                st.n_iter == 0,
-                first_reset,
-                lambda s: s._replace(status=jnp.asarray(NUMERICAL, jnp.int32)),
-                st,
-            )
-
+    def not_interior(st):
         return jax.lax.cond(
-            interior,
-            lambda s: _hsd_iteration(c, hp, s),
-            not_interior,
+            st.n_iter == 0,
+            first_reset,
+            lambda s: s._replace(status=jnp.asarray(NUMERICAL, jnp.int32)),
             st,
         )
 
+    return jax.lax.cond(
+        interior,
+        lambda s: _hsd_iteration(c, hp, s),
+        not_interior,
+        st,
+    )
+
+
+def make_hsd(max_iter: int, whole_phase: bool = True):
     if not whole_phase:
+        def body(st, c, hp):
+            return _hsd_body(c, hp, st)
+
         return jax.jit(body)
 
-    def cond(st: State):
-        return jnp.logical_and(st.status == RUNNING, st.n_iter < max_iter)
+    def run(st: State, c: Cones, hp: HsdPars):
+        def cond(st: State):
+            return jnp.logical_and(st.status == RUNNING, st.n_iter < max_iter)
 
-    def run(st: State):
-        st = jax.lax.while_loop(cond, body, st)
+        st = jax.lax.while_loop(cond, lambda s: _hsd_body(c, hp, s), st)
         st = st._replace(
             status=jnp.where(st.status == RUNNING, MAXITER, st.status)
         )
@@ -1573,14 +1601,17 @@ def _run_hsd_fused(ipm, c: Cones, d_only: bool, whole: bool = True):
     )
     key = _cache_key(ipm, "hsd", (p.max_iter, whole))
     if key not in _PROGRAM_CACHE:
-        _PROGRAM_CACHE[key] = make_hsd(c, hp, p.max_iter, whole_phase=whole)
+        _PROGRAM_CACHE[key] = make_hsd(p.max_iter, whole_phase=whole)
+    prog = _PROGRAM_CACHE[key]
     st = _state_from_ipm(ipm)
     st = st._replace(status=jnp.asarray(RUNNING, jnp.int32))
     start_iter = ipm.n_iter
     if whole:
-        st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
+        st = jax.block_until_ready(prog(st, c, hp))
     else:
-        st = _drive_iterated(ipm, _PROGRAM_CACHE[key], st, p.max_iter, False)
+        st = _drive_iterated(
+            ipm, lambda s: prog(s, c, hp), st, p.max_iter, False
+        )
     _sync_to_ipm(st, ipm)
     code = int(st.status)
     _print_fused_log(ipm, st, "hsd", start_iter)
@@ -1660,15 +1691,18 @@ def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
     key = _cache_key(ipm, "a", (p.corrector_a, p.max_iter, allow_reset, whole))
     if key not in _PROGRAM_CACHE:
         _PROGRAM_CACHE[key] = make_phase_a(
-            c, pars_a, p.corrector_a, p.max_iter, allow_reset, reset_rd,
-            whole_phase=whole,
+            p.corrector_a, p.max_iter, allow_reset, whole_phase=whole
         )
+    prog = _PROGRAM_CACHE[key]
+    rrd = np.asarray(reset_rd, np.dtype(ipm.dtype))
     st = _state_from_ipm(ipm)
     start_iter = ipm.n_iter
     if whole:
-        st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
+        st = jax.block_until_ready(prog(st, c, pars_a, rrd))
     else:
-        st = _drive_iterated(ipm, _PROGRAM_CACHE[key], st, p.max_iter, False)
+        st = _drive_iterated(
+            ipm, lambda s: prog(s, c, pars_a, rrd), st, p.max_iter, False
+        )
     _sync_to_ipm(st, ipm)
     code = int(st.status)
     ipm.status = _STATUS_MAP.get(code, algo.NUMERICAL)
@@ -1702,16 +1736,18 @@ def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
         )
         if key not in _PROGRAM_CACHE:
             _PROGRAM_CACHE[key] = make_phase_b(
-                c, pars_b, p.corrector_b, p.max_iter, psdp_eligible,
-                whole_phase=whole,
+                p.corrector_b, p.max_iter, psdp_eligible, whole_phase=whole
             )
+        prog = _PROGRAM_CACHE[key]
         st = _state_from_ipm(ipm)
         st = st._replace(perturb=jnp.asarray(ipm.perturb, ipm.dtype))
         start_iter = ipm.n_iter
         if whole:
-            st = jax.block_until_ready(_PROGRAM_CACHE[key](st))
+            st = jax.block_until_ready(prog(st, c, pars_b))
         else:
-            st = _drive_iterated(ipm, _PROGRAM_CACHE[key], st, p.max_iter, True)
+            st = _drive_iterated(
+                ipm, lambda s: prog(s, c, pars_b), st, p.max_iter, True
+            )
         _sync_to_ipm(st, ipm)
         code = int(st.status)
         _print_fused_log(ipm, st, "potential", start_iter)
@@ -1720,11 +1756,16 @@ def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
             from hdsdp_tpu.solver.psdp import PSDPRefiner
 
             refiner = PSDPRefiner(ipm)
-            if refiner.optimize():
+            refined = refiner.optimize()
+            if refined and refiner.converged:
                 ipm.psdp = refiner
-                if refiner.converged:
-                    ipm.status = algo.PRIMAL_DUAL_OPTIMAL
+                ipm.status = algo.PRIMAL_DUAL_OPTIMAL
                 return ipm.status
+            if refined:
+                # partial refinement (ref hdsdp_algo.c:1804-1815): keep the
+                # refined primal iterate for solution extraction but resume
+                # potential reduction with PSDP disabled
+                ipm.psdp = refiner
             psdp_eligible = False
             continue
 

@@ -61,3 +61,43 @@ def test_solver_via_cg_backend():
     r_di = HDSDPSolver(prob, verbose=False, fused=False, kkt_solver="direct").optimize()
     assert r_cg.status == "PRIMAL_DUAL_OPTIMAL"
     assert r_cg.d_obj == pytest.approx(r_di.d_obj, rel=1e-6)
+
+
+def test_cg_reports_failure_on_indefinite():
+    """An indefinite M must be reported (ok=False), not silently NaN."""
+    m = 40
+    M = _spd(m, seed=9)
+    M = M - 10.0 * jnp.eye(m)  # make indefinite
+    rhs = jnp.asarray(np.random.default_rng(10).normal(size=m))
+    cg = AdaptiveCG()
+    x, ok = cg.solve_checked(M, rhs)
+    assert not ok
+
+
+def test_solver_cg_escalates_direct():
+    """DualIPM.solve_kkt must escalate to the direct ladder when CG fails
+    (ADVICE: CG backend previously iterated on NaNs)."""
+    from hdsdp_tpu.solver.algo import DualIPM
+    from hdsdp_tpu.solver.params import Params
+
+    # m must exceed CG's max_iter cap, else the Krylov method terminates
+    # exactly on the indefinite system within m iterations
+    prob = SDPProblem.from_sdpa(random_sdpa(m=120, block_dims=[10], seed=8))
+    ipm = DualIPM(prob, Params(verbose=False, kkt_solver="cg"))
+    m = ipm.m
+    rng = np.random.default_rng(11)
+    Q = np.asarray(rng.normal(size=(m, m)))
+    # genuinely indefinite: mixed-sign spectrum (not merely negative definite)
+    M_bad = jnp.asarray(0.05 * (Q + Q.T) + np.diag(np.linspace(-1.0, 1.0, m)))
+    from hdsdp_tpu.solver.cones import KKTOut
+
+    ipm.kkt = KKTOut(M=M_bad, asinv=None, asinvrdsinv=None, asinvcsinv=None,
+                     csinv=None, csinvcsinv=None, csinvrdsinv=None,
+                     trace_sinv=None)
+    ipm.factor_kkt()
+    rhs = jnp.asarray(rng.normal(size=m))
+    x = ipm.solve_kkt(rhs)
+    # the LU fallback must produce the true solution of the indefinite system
+    x_ref = np.linalg.solve(np.asarray(M_bad), np.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-8, atol=1e-8)
+    assert ipm.Mfac[0] in ("lu", "chol")

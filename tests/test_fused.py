@@ -65,3 +65,21 @@ def test_iter_mode_matches_phase_mode():
     assert rp.status == ri.status == "PRIMAL_DUAL_OPTIMAL"
     assert rp.n_iters == ri.n_iters
     assert rp.d_obj == pytest.approx(ri.d_obj, rel=1e-12)
+
+
+def test_program_cache_not_poisoned_across_problems():
+    """Two problems with IDENTICAL bucketed shapes but different data must
+    both solve correctly in the same process: the cached fused programs
+    take the cone data as runtime arguments, not baked-in constants."""
+    da = random_sdpa(m=16, block_dims=[8], n_lp=0, seed=21)
+    db = random_sdpa(m=16, block_dims=[8], n_lp=0, seed=22)
+    pa = SDPProblem.from_sdpa(da)
+    pb = SDPProblem.from_sdpa(db)
+    ra = HDSDPSolver(pa, verbose=False, fused=True).optimize()
+    rb = HDSDPSolver(pb, verbose=False, fused=True).optimize()
+    # cross-check against fresh host-loop solves
+    ha = HDSDPSolver(pa, verbose=False, fused=False).optimize()
+    hb = HDSDPSolver(pb, verbose=False, fused=False).optimize()
+    assert ra.d_obj == pytest.approx(ha.d_obj, rel=1e-6)
+    assert rb.d_obj == pytest.approx(hb.d_obj, rel=1e-6)
+    assert abs(ra.d_obj - rb.d_obj) > 1e-6  # genuinely different problems
