@@ -137,3 +137,112 @@ def random_sdpa(
 
     data.nnz = nnz
     return data
+
+
+def theta_sdpa(n: int = 300, n_edges: int = 4374, seed: int = 0) -> SDPAData:
+    """Lovász theta-function SDP of a random graph, in SDPA COO form.
+
+    Exactly the structure of SDPLIB's theta* / thetaG* family (theta6:
+    n = 300, m = 4375):
+
+        max <J, X>  s.t.  tr(X) = 1,  X_ij = 0 for (i,j) in E,  X >= 0
+
+    written as min <-J, X>: constraint 1 is the identity (rank n ->
+    dense bucket + implied-trace feature), constraints 2..m are
+    e_i e_j^T + e_j e_i^T (rank-2, support-2 -> slot-major low-rank
+    bucket).  The optimum is the theta number of the graph (>= 1).
+    """
+    rng = np.random.default_rng(seed)
+    max_edges = n * (n - 1) // 2
+    n_edges = min(n_edges, max_edges)
+    # sample distinct edges
+    flat = rng.choice(max_edges, size=n_edges, replace=False)
+    iu, ju = np.triu_indices(n, 1)
+    ei, ej = iu[flat], ju[flat]  # ei < ej
+
+    m = 1 + n_edges
+    b = np.zeros(m)
+    b[0] = 1.0
+
+    cons, rows, cols, vals = [], [], [], []
+    # C = -J (min form), lower triangle
+    il, jl = np.tril_indices(n)
+    cons.append(np.zeros(len(il), np.int32))
+    rows.append(il.astype(np.int32))
+    cols.append(jl.astype(np.int32))
+    vals.append(np.full(len(il), -1.0))
+    # A_1 = I
+    d = np.arange(n, dtype=np.int32)
+    cons.append(np.full(n, 1, np.int32))
+    rows.append(d)
+    cols.append(d)
+    vals.append(np.ones(n))
+    # A_{k+1} = e_i e_j^T + e_j e_i^T  (one lower-tri entry of 1.0)
+    cons.append(np.arange(2, m + 1, dtype=np.int32))
+    rows.append(ej.astype(np.int32))
+    cols.append(ei.astype(np.int32))
+    vals.append(np.ones(n_edges))
+
+    data = SDPAData(m=m, block_dims=[n], b=b)
+    data.blocks.append(
+        BlockEntries(
+            dim=n,
+            con=np.concatenate(cons),
+            row=np.concatenate(rows),
+            col=np.concatenate(cols),
+            val=np.concatenate(vals),
+        )
+    )
+    data.nnz = sum(len(v) for v in vals)
+    return data
+
+
+def maxcut_sdpa(n: int = 1000, seed: int = 0, degree: int = 6) -> SDPAData:
+    """MaxCut SDP relaxation of a random graph (SDPLIB maxG* family:
+    maxG51 is n = m = 1000).
+
+        min <C, X>  s.t.  X_ii = 1/4 ... (SDPLIB convention: diag(X) = b)
+
+    C is the (scaled) graph Laplacian; every constraint is e_i e_i^T
+    (rank-1): m = n, the pure slot-major r = 1 path at scale.
+    """
+    rng = np.random.default_rng(seed)
+    n_edges = min(n * degree // 2, n * (n - 1) // 2)
+    flat = rng.choice(n * (n - 1) // 2, size=n_edges, replace=False)
+    iu, ju = np.triu_indices(n, 1)
+    ei, ej = iu[flat], ju[flat]
+    w = rng.choice([-1.0, 1.0], size=n_edges)
+
+    # C = -(diag(W e) - W) / 4  (negated Laplacian / 4, min form)
+    deg = np.zeros(n)
+    np.add.at(deg, ei, w)
+    np.add.at(deg, ej, w)
+
+    cons, rows, cols, vals = [], [], [], []
+    d = np.arange(n, dtype=np.int32)
+    cons.append(np.zeros(n, np.int32))
+    rows.append(d)
+    cols.append(d)
+    vals.append(-deg / 4.0)
+    cons.append(np.zeros(n_edges, np.int32))
+    rows.append(ej.astype(np.int32))
+    cols.append(ei.astype(np.int32))
+    vals.append(w / 4.0)
+    # constraints diag(X)_i = 1/4  (so that sum b = n/4, trace-implied)
+    cons.append(np.arange(1, n + 1, dtype=np.int32))
+    rows.append(d)
+    cols.append(d)
+    vals.append(np.ones(n))
+
+    data = SDPAData(m=n, block_dims=[n], b=np.full(n, 0.25))
+    data.blocks.append(
+        BlockEntries(
+            dim=n,
+            con=np.concatenate(cons),
+            row=np.concatenate(rows),
+            col=np.concatenate(cols),
+            val=np.concatenate(vals),
+        )
+    )
+    data.nnz = sum(len(v) for v in vals)
+    return data

@@ -32,7 +32,29 @@ import jax.numpy as jnp
 
 
 class GroupArrays(NamedTuple):
-    """Device-side arrays of one same-dimension SDP block group."""
+    """Device-side arrays of one same-dimension SDP block group.
+
+    Two storage layouts for the low-rank bucket:
+
+    * FLAT (``Fs is None``): all low-rank slots of the group are packed
+      into F:[g, R, n] with per-slot constraint ids seg:[g, R].  The M
+      accumulation goes through either the ``pos`` gather map (g == 1,
+      injective slots) or a one-hot MXU contraction.  The one-hot path
+      costs O(R^2 m) flops and O(g R m) memory — fine for many small
+      blocks, catastrophic at SDPLIB scale (R ~ 2m, m ~ 5000).
+
+    * SLOT-MAJOR (``Fs`` set; requires g == 1): factors are stored by
+      slot index j < r as Fs:[r, m, n] / lams:[r, m] where Fs[j, i] is
+      the j-th eigenvector of constraint i (zero row if rank(A_i) <= j).
+      The Schur matrix becomes r(r+1)/2 plain [m,n]x[n,m] matmuls
+
+          M += sym( (lams_j (x) lams_k) * (Fs_j U Fs_k^T)^2 )
+
+      directly in constraint-index order: no scatter, no one-hot, no
+      [g, R, m] blow-up.  This is the TPU replacement for the
+      reference's per-row M1/M2 rank-one kernels
+      (ref hdsdp_conic_sdp.c:687-778) at large m.
+    """
 
     C: jnp.ndarray  # [g, n, n]
     F: jnp.ndarray  # [g, R, n]
@@ -48,6 +70,10 @@ class GroupArrays(NamedTuple):
     # pure gather.  When absent, a one-hot MXU contraction is used; the
     # general scatter is never emitted on the M path.
     pos: Optional[jnp.ndarray] = None  # [m] int32
+    # slot-major layout (see class docstring); F/lam/seg hold 1-slot
+    # placeholders when set
+    Fs: Optional[jnp.ndarray] = None  # [r, m, n]
+    lams: Optional[jnp.ndarray] = None  # [r, m]
 
 
 class SchurOut(NamedTuple):
@@ -70,9 +96,15 @@ def group_dual(ga: GroupArrays, dC, scal, y, dEye) -> jnp.ndarray:
     Mirrors sdpDenseConeIUpdateBuffer (ref hdsdp_conic_sdp.c:343-402); the
     per-cone perturbation is folded into dEye by the caller.
     """
-    g, R, n = ga.F.shape
-    w = ga.lam * y[ga.seg]  # [g, R]
-    W = jnp.einsum("grn,gr,grm->gnm", ga.F, w, ga.F, optimize=True)
+    if ga.Fs is not None:
+        r, m_, n = ga.Fs.shape
+        g = 1
+        w = ga.lams * y[None, :]  # [r, m]
+        W = jnp.einsum("jan,ja,jam->nm", ga.Fs, w, ga.Fs, optimize=True)[None]
+    else:
+        g, R, n = ga.F.shape
+        w = ga.lam * y[ga.seg]  # [g, R]
+        W = jnp.einsum("grn,gr,grm->gnm", ga.F, w, ga.F, optimize=True)
     if ga.Ad.shape[0]:
         Wd = jax.ops.segment_sum(
             ga.Ad * y[ga.didx][:, None, None], ga.dblk, num_segments=g
@@ -87,8 +119,62 @@ def _quadforms(F: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...rn,...nm,...rm->...r", F, T, F, optimize=True)
 
 
+def _dense_congruence(ga: GroupArrays, U: jnp.ndarray):
+    """B_i = U A_i U for the dense bucket (ref M3, hdsdp_conic_sdp.c:780-851)."""
+    Ub = U[ga.dblk]  # [md,n,n]
+    return jnp.einsum("ipq,iqr,irs->ips", Ub, ga.Ad, Ub, optimize=True), Ub
+
+
+def _slot_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> SchurOut:
+    """Slot-major Schur contribution (g == 1): r(r+1)/2 [m,n]x[n,m]
+    matmuls indexed directly by constraint — the large-m path."""
+    r, m_, n = ga.Fs.shape
+    U0 = U[0]
+    md = ga.Ad.shape[0]
+
+    FU = jnp.einsum("jan,nm->jam", ga.Fs, U0, optimize=True)  # [r,m,n]
+    asinv = jnp.sum(ga.lams * jnp.sum(FU * ga.Fs, axis=-1), axis=0)
+    trsas = jnp.sum(ga.lams * jnp.sum(FU * FU, axis=-1), axis=0)
+    trU = jnp.trace(U0)
+
+    M = None
+    B = None
+    if md:
+        B, Ub = _dense_congruence(ga, U)
+        asinv = asinv.at[ga.didx].add(jnp.sum(ga.Ad * Ub, axis=(-1, -2)))
+        trsas = trsas.at[ga.didx].add(jnp.trace(B, axis1=-2, axis2=-1))
+
+    if with_m:
+        M = jnp.zeros((m, m), U.dtype)
+        for j in range(r):
+            for k in range(j, r):
+                T = FU[j] @ ga.Fs[k].T  # [m, m]
+                T = (ga.lams[j][:, None] * ga.lams[k][None, :]) * (T * T)
+                M = M + T + T.T if k > j else M + T
+
+        if md:
+            # dense x dense (single block: all pairs interact)
+            Mdd = jnp.einsum("ipq,jpq->ij", B, ga.Ad, optimize=True)
+            Ed = jax.nn.one_hot(ga.didx, m, dtype=U.dtype)  # [md, m]
+            M = M + Ed.T @ (Mdd @ Ed)
+            # dense x low-rank cross: lams_j[a] * Fs_j[a]^T B_i Fs_j[a],
+            # memory-bounded scan over the (small) dense bucket
+            def cross_one(Bi):
+                FB = jnp.einsum("jan,nm->jam", ga.Fs, Bi, optimize=True)
+                return jnp.sum(ga.lams * jnp.sum(FB * ga.Fs, axis=-1), axis=0)
+
+            Xc = jax.lax.map(cross_one, B)  # [md, m]
+            Mx = Ed.T @ Xc
+            M = M + Mx + Mx.T
+
+    return SchurOut(M=M, asinv=asinv, trSAS=trsas, trU=trU)
+
+
 def group_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool = True) -> SchurOut:
     """Schur contribution of one group given U = S^-1 [g,n,n]."""
+
+    if ga.Fs is not None:
+        return _slot_schur(ga, U, m, with_m)
 
     g, R, n = ga.F.shape
     md = ga.Ad.shape[0]
@@ -157,9 +243,13 @@ def group_hsd(ga: GroupArrays, U: jnp.ndarray, m: int) -> HSDOut:
     csinvcsinv = jnp.sum(ga.C * T)
     trUCU = jnp.trace(T, axis1=-2, axis2=-1).sum()
 
-    asinvcsinv = jnp.zeros((m,), U.dtype)
-    q = ga.lam * _quadforms(ga.F, T)
-    asinvcsinv = asinvcsinv.at[ga.seg].add(q)
+    if ga.Fs is not None:
+        FT = jnp.einsum("jan,nm->jam", ga.Fs, T[0], optimize=True)
+        asinvcsinv = jnp.sum(ga.lams * jnp.sum(FT * ga.Fs, axis=-1), axis=0)
+    else:
+        asinvcsinv = jnp.zeros((m,), U.dtype)
+        q = ga.lam * _quadforms(ga.F, T)
+        asinvcsinv = asinvcsinv.at[ga.seg].add(q)
     if ga.Ad.shape[0]:
         Tb = T[ga.dblk]
         asinvcsinv = asinvcsinv.at[ga.didx].add(jnp.sum(ga.Ad * Tb, axis=(-1, -2)))
@@ -171,9 +261,13 @@ def group_hsd(ga: GroupArrays, U: jnp.ndarray, m: int) -> HSDOut:
 
 def group_atx(ga: GroupArrays, X: jnp.ndarray, m: int) -> jnp.ndarray:
     """A(X): per-constraint traces <A_i, X_blk> given X [g,n,n]."""
-    out = jnp.zeros((m,), X.dtype)
-    FX = jnp.einsum("grn,gnm->grm", ga.F, X, optimize=True)
-    out = out.at[ga.seg].add(ga.lam * jnp.sum(FX * ga.F, axis=-1))
+    if ga.Fs is not None:
+        FX = jnp.einsum("jan,nm->jam", ga.Fs, X[0], optimize=True)
+        out = jnp.sum(ga.lams * jnp.sum(FX * ga.Fs, axis=-1), axis=0)
+    else:
+        out = jnp.zeros((m,), X.dtype)
+        FX = jnp.einsum("grn,gnm->grm", ga.F, X, optimize=True)
+        out = out.at[ga.seg].add(ga.lam * jnp.sum(FX * ga.F, axis=-1))
     if ga.Ad.shape[0]:
         Xb = X[ga.dblk]
         out = out.at[ga.didx].add(jnp.sum(ga.Ad * Xb, axis=(-1, -2)))

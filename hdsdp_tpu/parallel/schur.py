@@ -199,7 +199,8 @@ class ShardedConeSystem(ConeSystem):
         obj_scal: float = 1.0,
         dtype=jnp.float64,
     ):
-        super().__init__(prob, obj_scal=obj_scal, dtype=dtype)
+        # flat layout: the sharded kernels partition the packed R axis
+        super().__init__(prob, obj_scal=obj_scal, dtype=dtype, layout="flat")
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.ndev = int(np.prod(mesh.devices.shape))

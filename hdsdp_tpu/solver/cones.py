@@ -197,36 +197,64 @@ def _ctx(groups, lp, X_list, x_lp):
 class ConeSystem:
     """Holds device-side cone data and compiled cone operations."""
 
-    def __init__(self, prob: SDPProblem, obj_scal: float = 1.0, dtype=jnp.float64):
+    def __init__(self, prob: SDPProblem, obj_scal: float = 1.0, dtype=jnp.float64,
+                 layout: str = "auto"):
+        """layout: "auto" stores single-block groups slot-major (the
+        large-m path, see GroupArrays); "flat" forces the packed-slot
+        layout (used by the sharded system, which partitions the R axis)."""
         self.m = prob.m
         self.dtype = dtype
-        def _pos_map(g):
-            """Gather map for M accumulation (see GroupArrays.pos)."""
-            if g.nblk != 1:
-                return None
+
+        def _slot_major(g):
+            """Slot-major low-rank layout for single-block groups (see
+            GroupArrays docstring): Fs[j, i] = j-th eigenvector of A_i.
+            Scales to SDPLIB-size m without the [g, R, m] one-hot blow-up."""
+            m = prob.m
             lam0 = np.asarray(g.lam[0])
             seg0 = np.asarray(g.seg[0])
+            F0 = np.asarray(g.F[0])
             nz = np.nonzero(lam0 != 0.0)[0]
-            segs = seg0[nz]
-            if len(np.unique(segs)) != len(segs):
-                return None
-            R = g.F.shape[1]
-            pos = np.full(prob.m, R, np.int32)
-            pos[segs] = nz
-            return jnp.asarray(pos)
+            counts = np.bincount(seg0[nz], minlength=m) if len(nz) else np.zeros(m, int)
+            r = max(int(counts.max()) if len(counts) else 0, 1)
+            Fs = np.zeros((r, m, g.dim))
+            lams = np.zeros((r, m))
+            fill = np.zeros(m, np.int64)
+            for idx in nz:
+                i = seg0[idx]
+                j = fill[i]
+                fill[i] = j + 1
+                Fs[j, i] = F0[idx]
+                lams[j, i] = lam0[idx]
+            return jnp.asarray(Fs, dtype), jnp.asarray(lams, dtype)
 
-        self.groups: Tuple[GroupArrays, ...] = tuple(
-            GroupArrays(
+        def _make_group(g):
+            kw = dict(
                 C=jnp.asarray(g.C * obj_scal, dtype),
-                F=jnp.asarray(g.F, dtype),
-                lam=jnp.asarray(g.lam, dtype),
-                seg=jnp.asarray(g.seg, jnp.int32),
                 Ad=jnp.asarray(g.Ad, dtype),
                 didx=jnp.asarray(g.didx, jnp.int32),
                 dblk=jnp.asarray(g.dblk, jnp.int32),
-                pos=_pos_map(g),
             )
-            for g in prob.groups
+            if g.nblk == 1 and layout == "auto":
+                Fs, lams = _slot_major(g)
+                return GroupArrays(
+                    F=jnp.zeros((1, 1, g.dim), dtype),
+                    lam=jnp.zeros((1, 1), dtype),
+                    seg=jnp.zeros((1, 1), jnp.int32),
+                    pos=None,
+                    Fs=Fs,
+                    lams=lams,
+                    **kw,
+                )
+            return GroupArrays(
+                F=jnp.asarray(g.F, dtype),
+                lam=jnp.asarray(g.lam, dtype),
+                seg=jnp.asarray(g.seg, jnp.int32),
+                pos=None,
+                **kw,
+            )
+
+        self.groups: Tuple[GroupArrays, ...] = tuple(
+            _make_group(g) for g in prob.groups
         )
         self.group_dims = [g.dim for g in prob.groups]
         self.group_nblk = [g.nblk for g in prob.groups]

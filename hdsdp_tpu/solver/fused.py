@@ -1626,7 +1626,9 @@ _PROGRAM_CACHE: dict = {}
 
 def _cache_key(ipm, phase, extra):
     shapes = tuple(
-        (ga.F.shape, ga.Ad.shape, ga.C.shape) for ga in ipm.cones.groups
+        (ga.F.shape, ga.Ad.shape, ga.C.shape,
+         None if ga.Fs is None else ga.Fs.shape)
+        for ga in ipm.cones.groups
     )
     lp_shape = None if ipm.cones.lp is None else ipm.cones.lp.A.shape
     ratio = (_RATIO_CFG["mode"], _RATIO_CFG["krylov"])
