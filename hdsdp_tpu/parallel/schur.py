@@ -33,11 +33,13 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from jax.sharding import NamedSharding
+
 from hdsdp_tpu.models.problem import SDPProblem
 from hdsdp_tpu.ops import chol as chol_ops
 from hdsdp_tpu.ops.schur import GroupArrays, LPArrays
 from hdsdp_tpu.parallel.mesh import ROW_AXIS
-from hdsdp_tpu.solver.cones import ConeSystem, KKTOut
+from hdsdp_tpu.solver.cones import ConeSystem, KKTOut, _build_kkt
 
 
 def _pad_axis(a: np.ndarray, axis: int, target: int) -> np.ndarray:
@@ -327,3 +329,116 @@ class ShardedConeSystem(ConeSystem):
 
     def build_kkt(self, L, s_lp, Rd, kind: str) -> KKTOut:
         return self._kkt_sharded[kind](self.groups, self.lp, L, s_lp, Rd)
+
+
+# ----------------------------------------------------------------------
+# row-sharded cone system (slot-major, single-block groups)
+# ----------------------------------------------------------------------
+
+
+class RowShardedConeSystem(ConeSystem):
+    """Constraint-row-sharded assembly for single-block groups at scale.
+
+    The slot-major layout (ops.schur.GroupArrays) indexes the low-rank
+    factors directly by constraint, so sharding the constraint axis of
+    Fs/lams over the mesh makes every device compute exactly its own rows
+    of the Schur matrix
+
+        M[rows_d, :] = sum_{j,k} (lams_j[rows_d] x lams_k)
+                        * (Fs_j[rows_d] U Fs_k^T)^2
+
+    with ZERO communication for M itself (XLA inserts one all-gather of
+    the iteration-invariant Fs_k right operand).  M is born with sharding
+    P("row", None) and stays sharded through regularization, the
+    distributed Cholesky (parallel.dchol) and the row-sharded CG
+    (parallel.cg): no device ever materializes the full m x m matrix.
+    This is the scalable replacement for ShardedConeSystem's
+    slot-partitioned + psum-replicated scheme (kept for multi-block
+    problems, whose M is small).
+    """
+
+    is_row_sharded = True
+
+    def __init__(
+        self,
+        prob: SDPProblem,
+        mesh: Mesh,
+        obj_scal: float = 1.0,
+        dtype=jnp.float64,
+    ):
+        super().__init__(prob, obj_scal=obj_scal, dtype=dtype, layout="auto")
+        if any(ga.Fs is None for ga in self.groups):
+            raise ValueError(
+                "RowShardedConeSystem requires single-block groups "
+                "(slot-major layout); use ShardedConeSystem instead"
+            )
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.ndev = int(np.prod(mesh.devices.shape))
+        m = self.m
+
+        s_con3 = NamedSharding(mesh, P(None, self.axis, None))  # Fs
+        s_con2 = NamedSharding(mesh, P(None, self.axis))  # lams
+        repl = NamedSharding(mesh, P())
+        self._m_shard = NamedSharding(mesh, P(self.axis, None))
+
+        def _place(ga: GroupArrays) -> GroupArrays:
+            # problem data is replicated (iteration-invariant, broadcast
+            # once at setup); the per-iteration COMPUTE is what shards —
+            # the build constrains Fs/lams to the constraint-row sharding
+            # in-graph, so each device contracts only its rows of M
+            return jax.device_put(ga, repl)
+
+        self.groups = tuple(_place(ga) for ga in self.groups)
+        if self.lp is not None:
+            self.lp = jax.device_put(self.lp, repl)
+
+        # M is returned PADDED to a multiple of ndev with an identity
+        # tail (padding rows solve trivially) so the output sharding is
+        # even and sticks at the jit boundary; the solver's mesh path
+        # pads/slices the m-vectors it exchanges with the KKT system.
+        self.m_pad = -(-m // self.ndev) * self.ndev
+
+        def _build(groups, lp, L, s_lp, Rd, kind: str):
+            groups = tuple(
+                ga._replace(
+                    Fs=jax.lax.with_sharding_constraint(ga.Fs, s_con3),
+                    lams=jax.lax.with_sharding_constraint(ga.lams, s_con2),
+                )
+                for ga in groups
+            )
+            out = _build_kkt(groups, lp, L, s_lp, Rd, m=m, kind=kind)
+            if out.M is not None:
+                pad = self.m_pad - m
+                Mp = jnp.pad(out.M, ((0, pad), (0, pad)))
+                tail = jnp.concatenate(
+                    [jnp.zeros(m, Mp.dtype), jnp.ones(pad, Mp.dtype)]
+                )
+                Mp = Mp + jnp.diag(tail)
+                out = out._replace(
+                    M=jax.lax.with_sharding_constraint(Mp, self._m_shard)
+                )
+            return out
+
+        def _out_shardings(kind):
+            v = repl
+            return KKTOut(
+                M=None if kind == "corr" else self._m_shard,
+                asinv=v,
+                asinvrdsinv=v,
+                asinvcsinv=v if kind == "hsd" else None,
+                csinv=v,
+                csinvcsinv=v,
+                csinvrdsinv=v,
+                trace_sinv=v,
+            )
+
+        self._kkt_jit = {
+            kind: jax.jit(
+                partial(_build, kind=kind), out_shardings=_out_shardings(kind)
+            )
+            for kind in ("inf", "hsd", "corr")
+        }
+
+    def build_kkt(self, L, s_lp, Rd, kind: str) -> KKTOut:
+        return self._kkt_jit[kind](self.groups, self.lp, L, s_lp, Rd)

@@ -73,12 +73,23 @@ class DualIPM:
         # scaling (ref hdsdp.c:314-320): C *= objScal, b *= rhsScal
         self.obj_scal = self.f.obj_scaling
         self.rhs_scal = self.f.rhs_scaling
+        self.mesh = mesh
         if mesh is not None:
-            from hdsdp_tpu.parallel.schur import ShardedConeSystem
-
-            self.cones = ShardedConeSystem(
-                prob, mesh, obj_scal=self.obj_scal, dtype=self.dtype
+            from hdsdp_tpu.parallel.schur import (
+                RowShardedConeSystem,
+                ShardedConeSystem,
             )
+
+            if all(g.nblk == 1 for g in prob.groups):
+                # constraint-row-sharded assembly: M born sharded, stays
+                # sharded through the distributed Cholesky / CG
+                self.cones = RowShardedConeSystem(
+                    prob, mesh, obj_scal=self.obj_scal, dtype=self.dtype
+                )
+            else:
+                self.cones = ShardedConeSystem(
+                    prob, mesh, obj_scal=self.obj_scal, dtype=self.dtype
+                )
         else:
             self.cones = ConeSystem(prob, obj_scal=self.obj_scal, dtype=self.dtype)
         self.cones.ratio_mode = params.ratio_test
@@ -229,7 +240,10 @@ class DualIPM:
             ui = 1.0 / self.su
             asinv = asinv + ui - li
             if kind != "corr":
-                M = M + jnp.diag(li * li + ui * ui)
+                d = li * li + ui * ui
+                if M.shape[0] != self.m:  # row-sharded padded M
+                    d = jnp.pad(d, (0, M.shape[0] - self.m))
+                M = M + jnp.diag(d)
 
         self.kkt = kkt._replace(M=M, asinv=asinv)
         return self.kkt
@@ -238,12 +252,13 @@ class DualIPM:
         """ref HKKTRegularize (hdsdp_schur.c:348-373)."""
         if self.kkt.M is None:
             return
-        min_diag = float(jnp.min(jnp.diag(self.kkt.M)))
+        min_diag = float(jnp.min(jnp.diag(self.kkt.M)[: self.m]))
         reg = min(reg_coef * min_diag, 1e-05)
         if reg < 1e-14:
             reg = 0.0
         if reg:
-            M = self.kkt.M + reg * jnp.eye(self.m, dtype=self.dtype)
+            mk = self.kkt.M.shape[0]
+            M = self.kkt.M + reg * jnp.eye(mk, dtype=self.dtype)
             self.kkt = self.kkt._replace(M=M)
 
     def _direct_factor(self, M) -> None:
@@ -262,17 +277,42 @@ class DualIPM:
                 return
         self.Mfac = ("lu", jax.scipy.linalg.lu_factor(M))
 
+    def _row_sharded(self) -> bool:
+        return getattr(self.cones, "is_row_sharded", False)
+
     def factor_kkt(self) -> None:
         """Factor (or defer) the Schur system.  With kkt_solver="cg" the
         factorization is deferred: solves go through AdaptiveCG (ref
         conjGradSolve + ADPCG policy) and escalate to the direct ladder on
-        CG failure."""
+        CG failure.  On a row-sharded mesh the factorization is the
+        distributed blocked Cholesky (parallel.dchol) or row-sharded CG:
+        M never materializes on one device."""
         self._factor_stats["n_factor"] += 1
         M = self.kkt.M
         use_cg = self.params.kkt_solver == "cg" or (
             self.params.kkt_solver == "auto"
             and self.m >= self.params.kkt_cg_threshold
         )
+        if self._row_sharded():
+            if use_cg:
+                self.Mfac = ("shcg", M)
+                return
+            from hdsdp_tpu.parallel.dchol import sharded_cholesky
+
+            fac = sharded_cholesky(self.mesh, M)
+            if not bool(fac.ok):
+                # regularization ladder, sharded (ref ladder semantics)
+                base = float(jnp.max(jnp.diag(M))) * 1e-14 + 1e-300
+                for k in range(6):
+                    reg = base * (10.0 ** (2 * k))
+                    fac = sharded_cholesky(
+                        self.mesh,
+                        M + reg * jnp.eye(M.shape[0], dtype=self.dtype),
+                    )
+                    if bool(fac.ok):
+                        break
+            self.Mfac = ("shchol", fac)
+            return
         if use_cg:
             if not hasattr(self, "_cg"):
                 from hdsdp_tpu.ops.cg import AdaptiveCG
@@ -287,6 +327,20 @@ class DualIPM:
         kind, fac = self.Mfac
         if kind == "chol":
             return chol_ops.chol_solve(fac, rhs)
+        if kind == "shchol":
+            from hdsdp_tpu.parallel.dchol import sharded_chol_solve
+
+            pad = fac.m - self.m  # fac.m is the padded KKT size
+            x = sharded_chol_solve(fac, jnp.pad(rhs, (0, pad)) if pad else rhs)
+            return x[: self.m]
+        if kind == "shcg":
+            from hdsdp_tpu.parallel.cg import sharded_pcg
+
+            pad = fac.shape[0] - self.m
+            x, _ = sharded_pcg(self.mesh, fac,
+                               jnp.pad(rhs, (0, pad)) if pad else rhs,
+                               abs_tol=1e-10, rel_tol=1e-10)
+            return x[: self.m]
         if kind == "cg":
             x, ok = self._cg.solve_checked(fac, rhs)
             if ok:
@@ -300,6 +354,16 @@ class DualIPM:
     def solve_kkt_multi(self, rhs_list):
         """Batch several right-hand sides into one dispatch."""
         kind, fac = self.Mfac
+        if kind == "shchol":
+            from hdsdp_tpu.parallel.dchol import sharded_chol_solve
+
+            self._factor_stats["n_solve"] += len(rhs_list)
+            rhs = jnp.stack(rhs_list, axis=1)
+            pad = fac.m - self.m
+            if pad:
+                rhs = jnp.pad(rhs, ((0, pad), (0, 0)))
+            sols = sharded_chol_solve(fac, rhs)[: self.m]
+            return [sols[:, i] for i in range(len(rhs_list))]
         if kind == "chol":
             self._factor_stats["n_solve"] += len(rhs_list)
             sols = chol_ops.chol_solve(fac, jnp.stack(rhs_list, axis=1))
@@ -1115,9 +1179,7 @@ class DualIPM:
     def solve(self, d_only: bool = False):
         fused = self.params.fused
         if fused == "auto":
-            from hdsdp_tpu.parallel.schur import ShardedConeSystem
-
-            if isinstance(self.cones, ShardedConeSystem):
+            if self.mesh is not None:
                 # the fused programs use the single-chip kernels; a mesh
                 # run wants the sharded assembly in the host loop
                 fused = False
