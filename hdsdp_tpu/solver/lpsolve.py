@@ -67,6 +67,9 @@ class LPParams:
     max_iter: int = 100
     scal_method: str = "geometric"  # ruiz | geometric | l2 | none
     primal_method: bool = True
+    # measured factor:solve wall-time ratio above which the primal-only
+    # phase may engage (ref hdsdp_lpsolve.c:501-503 uses 50.0)
+    primal_switch_ratio: float = 50.0
     n_inner_cg: int = 0  # ref default: preconditioner-only (see module doc)
     verbose: bool = True
 
@@ -151,12 +154,51 @@ def _chol_solve(L, r):
     return jax.scipy.linalg.solve_triangular(L, t, lower=True, trans=1)
 
 
+def _factor_ladder(M, k0=0):
+    """Cholesky with an in-graph diagonal regularization ladder.
+
+    Degenerate LPs (redundant equality rows: acc-tight*) make the normal
+    equations A D^2 A' singular; the reference's LDL' backends absorb this
+    with static regularization (ref hdsdp_lpkkt.c / qdldl).  Rung ``k``
+    adds ``max(diag) * 1e-14 * 100^k`` to the diagonal (rung 0 = none);
+    the first attempt starts at the carried rung ``k0`` so a persistently
+    singular system pays the escalation once, not every iteration.
+    Returns (L, ok, rung_used)."""
+    k0 = jnp.asarray(k0, jnp.int32)
+    base = jnp.max(jnp.diag(M)) * 1e-14 + 1e-300
+    eye = jnp.eye(M.shape[0], dtype=M.dtype)
+
+    def attempt(k):
+        reg = jnp.where(k > 0, base * jnp.power(100.0, k.astype(M.dtype)), 0.0)
+        L = jnp.linalg.cholesky(M + reg * eye)
+        return L, jnp.sum(L - L) == 0.0  # NaN predicate (see ops.chol.chol_ok)
+
+    L, ok = attempt(k0)
+
+    def retry(L0):
+        def try_reg(k, carry):
+            Lc, okc, kc = carry
+            Lr, okr = attempt(k)
+            take = jnp.logical_and(jnp.logical_not(okc), okr)
+            return (
+                jnp.where(take, Lr, Lc),
+                jnp.logical_or(okc, okr),
+                jnp.where(take, k, kc),
+            )
+
+        return jax.lax.fori_loop(
+            k0 + 1, k0 + 8, try_reg, (L0, jnp.asarray(False), k0)
+        )
+
+    return jax.lax.cond(ok, lambda L0: (L0, ok, k0), retry, L)
+
+
 @partial(jax.jit, static_argnames=())
 def _mehrotra_start(A, b, c, dual_reg):
     """ref HLpSolverIComputeMehrotraStartingPoint (:313-382)."""
     nrow, ncol = A.shape
     M = A @ A.T + dual_reg * jnp.eye(nrow, dtype=A.dtype)
-    L = jnp.linalg.cholesky(M)
+    L, _, _ = _factor_ladder(M)
     x = A.T @ _chol_solve(L, b)
     y = _chol_solve(L, A @ c)
     s = c - A.T @ y
@@ -173,7 +215,7 @@ def _mehrotra_start(A, b, c, dual_reg):
 
 
 @partial(jax.jit, static_argnames=())
-def _pd_step(A, b, c, x, y, s, mu, barrier_lb, p_upd, d_upd, p_reg, d_reg):
+def _pd_step(A, b, c, x, y, s, mu, barrier_lb, p_upd, d_upd, p_reg, d_reg, rung):
     """One Mehrotra predictor-corrector iteration in one dispatch
     (ref HLpSolverITakePrimalDualStep, :558-681)."""
     nrow, ncol = A.shape
@@ -182,7 +224,7 @@ def _pd_step(A, b, c, x, y, s, mu, barrier_lb, p_upd, d_upd, p_reg, d_reg):
 
     d2 = x / s + p_reg
     M = (A * d2[None, :]) @ A.T + d_reg * jnp.eye(nrow, dtype=A.dtype)
-    L = jnp.linalg.cholesky(M)
+    L, ok, rung = _factor_ladder(M, rung)
 
     def msolve(r):
         """Cholesky solve + one iterative-refinement sweep: stabilizes the
@@ -218,7 +260,7 @@ def _pd_step(A, b, c, x, y, s, mu, barrier_lb, p_upd, d_upd, p_reg, d_reg):
     s = s + ad * ds
     y = y + ad * dy
     mu = jnp.maximum(jnp.sum(x * s) / ncol, barrier_lb)
-    return x, y, s, mu, ap, ad
+    return x, y, s, mu, ap, ad, ok, rung
 
 
 @partial(jax.jit, static_argnames=("n_inner",))
@@ -303,6 +345,20 @@ def _primal_step(
     return x, y_cand, s_new, target, ap, ad
 
 
+@jax.jit
+def _factor_normal(A, d2, reg):
+    """Factor A diag(d2) A' + reg I (the measured 'factor' op)."""
+    M = (A * d2[None, :]) @ A.T + reg * jnp.eye(A.shape[0], dtype=A.dtype)
+    L, _, _ = _factor_ladder(M)
+    return L
+
+
+@jax.jit
+def _solve_normal(L, r):
+    """One triangular solve pair (the measured 'solve' op)."""
+    return _chol_solve(L, r)
+
+
 # ----------------------------------------------------------------------
 # solver driver
 # ----------------------------------------------------------------------
@@ -375,8 +431,15 @@ class LPSolver:
         best_metric = np.inf
         best_point = None
         n_stall = 0
-        # factor:solve cost ratio proxy: dense chol nrow^3/3 vs solve 2nrow^2
-        factor_solve_ratio = self.nrow / 6.0
+        # factor:solve WALL-TIME ratio, measured on the actual jitted ops
+        # (ref uses measured times as the policy signal,
+        # def_hdsdp_lpkkt.h:42-46, hdsdp_lpsolve.c:501-503); measured once
+        # after warm-up at iteration 2
+        from hdsdp_tpu.utils.profile import PhaseStats
+
+        self.stats = PhaseStats()
+        factor_solve_ratio = 0.0
+        reg_rung = 0  # carried regularization-ladder rung (see _factor_ladder)
 
         if p.verbose:
             print(
@@ -396,17 +459,40 @@ class LPSolver:
                     p.dual_update_step, p.kkt_dual_reg, p.n_inner_cg,
                 )
             else:
-                x_new, y_new, s_new, mu_new, ap, ad = _pd_step(
+                x_new, y_new, s_new, mu_new, ap, ad, ok, rung = _pd_step(
                     self.A, self.b, self.c, x, y, s, mu, barrier_lb,
                     p.primal_update_step, p.dual_update_step,
-                    p.kkt_primal_reg, p.kkt_dual_reg,
+                    p.kkt_primal_reg, p.kkt_dual_reg, reg_rung,
                 )
+                reg_rung = min(int(rung), 8)
+                if not bool(ok):
+                    # even the regularization ladder failed: classify via
+                    # the best iterate below
+                    status = OPTIMAL if best_metric <= 1e-06 else NUMERICAL
+                    break
             mu_new = float(mu_new)
             if not np.isfinite(mu_new):
                 status = NUMERICAL
                 break
             prev_x = np.asarray(x)
             x, y, s, mu = x_new, y_new, s_new, mu_new
+
+            if n_iter == 2 and p.primal_method and factor_solve_ratio == 0.0:
+                # one-time measurement of the factor:solve wall-time ratio
+                # on the warm jitted ops
+                from hdsdp_tpu.utils.profile import profile_fn
+
+                d2m = x / s + p.kkt_primal_reg
+                tf = profile_fn(
+                    _factor_normal, self.A, d2m, p.kkt_dual_reg, n=2
+                )
+                Lm = _factor_normal(self.A, d2m, p.kkt_dual_reg)
+                ts = profile_fn(_solve_normal, Lm, self.b, n=2)
+                self.stats.factor_s += tf
+                self.stats.solve_s += max(ts, 1e-12)
+                self.stats.n_factor += 1
+                self.stats.n_solve += 1
+                factor_solve_ratio = self.stats.factor_solve_ratio
 
             p_inf, d_inf, p_obj, d_obj = self._stats(x, y, s)
             gap = abs(p_obj - d_obj)
@@ -474,7 +560,9 @@ class LPSolver:
                     gap_rel < 1e-03 and gap_rel > p.rel_opt_tol * 1e+02
                 )
                 cond3 = euclid < 1e-05 and float(ap) >= 0.1
-                if factor_solve_ratio >= 50.0 and (cond2 or cond3):
+                if factor_solve_ratio >= p.primal_switch_ratio and (
+                    cond2 or cond3
+                ):
                     if p.verbose:
                         print("Primal interior point method starts")
                     d0 = jnp.asarray(np.asarray(x))
@@ -496,6 +584,7 @@ class LPSolver:
             if best_metric < cur_metric:
                 x, y, s = (jnp.asarray(v) for v in best_point)
 
+        self.last_method = method  # "pd" or "primal" (which phase ended)
         p_inf, d_inf, p_obj, d_obj = self._stats(x, y, s)
         return LPResult(
             status=status,

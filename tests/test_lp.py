@@ -2,6 +2,8 @@
 (netlib optima; ref tests/test_file_io.c:89-183 is the equivalent driver)
 plus a synthetic random LP sanity check."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -48,3 +50,46 @@ def test_lp_scalings(scal):
     c = A.T @ rng.normal(size=m) + rng.random(n) + 0.5
     r = LPSolver(A, b, c, LPParams(verbose=False, scal_method=scal)).optimize()
     assert r.status == "PRIMAL_DUAL_OPTIMAL"
+
+
+def test_lp_golden_10teams(examples_dir):
+    """Larger golden fixture (nrow=1800): measured factor:solve switch-over
+    machinery runs, optimum matches netlib (ref tests/test_file_io.c:89-183)."""
+    r = solve_mps_file(f"{examples_dir}/10teams.mps", verbose=False)
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.p_obj == pytest.approx(897.0, rel=1e-5)
+    assert r.d_obj == pytest.approx(897.0, rel=1e-5)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("HDSDP_SLOW"),
+    reason="acc-tight4 (nrow=4905) needs ~3 min of CPU Cholesky; "
+    "set HDSDP_SLOW=1 (verified: OPTIMAL, obj 1.4e-13)",
+)
+def test_lp_golden_acc_tight4(examples_dir):
+    """Degenerate fixture with redundant equality rows: exercises the
+    persistent regularization-ladder rung (ref qdldl static regularization)."""
+    r = solve_mps_file(f"{examples_dir}/acc-tight4.mps", verbose=False)
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert abs(r.p_obj) < 1e-5
+    assert abs(r.d_obj) < 1e-5
+
+
+def test_lp_primal_phase_runs():
+    """Force the primal-only switch-over (primal_switch_ratio=0) and check
+    the flagship primal phase (ref HLpSolverITakePrimalStep,
+    hdsdp_lpsolve.c:949-1092) is actually entered and still reaches the
+    optimum."""
+    rng = np.random.default_rng(7)
+    m, n = 40, 100
+    A = rng.normal(size=(m, n))
+    x0 = rng.random(n) + 0.5
+    b = A @ x0
+    c = A.T @ rng.normal(size=m) + rng.random(n) + 0.5
+    solver = LPSolver(
+        A, b, c, LPParams(verbose=False, primal_switch_ratio=0.0)
+    )
+    r = solver.optimize()
+    assert solver.last_method == "primal"
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.p_obj == pytest.approx(r.d_obj, rel=1e-6)
