@@ -114,6 +114,29 @@ def sqrt(xh, xl):
     return quick_two_sum(s, r)
 
 
+def dd_sum(h, l, axis):
+    """Sum a DD array along ``axis`` with a binary two_sum tree.
+
+    A plain f32 jnp.sum would cap accuracy at ~K*2^-24; the tree keeps
+    the compensation term, staying at DD (~2^-45) level."""
+    n = h.shape[axis]
+    h = jnp.moveaxis(h, axis, 0)
+    l = jnp.moveaxis(l, axis, 0)
+    # pad leading axis to a power of two with zeros
+    p = 1
+    while p < n:
+        p *= 2
+    if p != n:
+        pad = [(0, p - n)] + [(0, 0)] * (h.ndim - 1)
+        h, l = jnp.pad(h, pad), jnp.pad(l, pad)
+    while p > 1:
+        p //= 2
+        ah, al, bh, bl = h[:p], l[:p], h[p:], l[p:]
+        s, e = two_sum(ah, bh)
+        h, l = quick_two_sum(s, e + al + bl)
+    return h[0], l[0]
+
+
 def from_f64(x):
     """Exact f64 -> DD (f64 has 52 mantissa bits; DD keeps the top ~48)."""
     hi = x.astype(jnp.float32)
