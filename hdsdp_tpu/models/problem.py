@@ -375,4 +375,69 @@ def _collect_features(prob: SDPProblem) -> Features:
         if ndense >= 0.7 * prob.m:
             f.very_dense = True
 
+    if prob.lp is not None:
+        _detect_lp_features(prob.lp, f)
+
     return f
+
+
+def _detect_lp_features(lp: LPConeData, f: Features) -> None:
+    """LP structure detectors (ref hdsdp_conic_lp.c:540-667).
+
+    1. Implied dual box l <= y <= u: every LP row of A touches at most
+       two columns, one with a positive and one with a negative entry;
+       a positive a_ij bounds y_i <= c_j / a_ij, a negative one bounds
+       y_i >= c_j / a_ij.
+    2. No dual interior: columns pair up as (x+, x-) splits — objective
+       and every row's entries cancel pairwise — so s = c - A'y comes in
+       +/- pairs and no strictly positive dual slack exists.
+    """
+    nlp, m = lp.nlp, lp.A.shape[0]
+    if nlp % 2 != 0 or nlp < 100:
+        return
+
+    up_tmp = np.zeros(m)
+    low_tmp = np.zeros(m)
+    implied = True
+    has_up = has_low = False
+    for i in range(m):
+        row = lp.A[i]
+        nz = np.flatnonzero(row)
+        if nz.size > 2:
+            implied = False
+            break
+        for j in nz:
+            bound = lp.c[j] / row[j]
+            if row[j] > 0.0:
+                if up_tmp[i]:
+                    implied = False
+                    break
+                has_up = True
+                up_tmp[i] = max(up_tmp[i], bound)
+            else:
+                if low_tmp[i]:
+                    implied = False
+                    break
+                has_low = True
+                low_tmp[i] = min(low_tmp[i], bound)
+        if not implied:
+            break
+
+    if implied:
+        f.imp_y_bound = True
+        if has_up:
+            up = max(1.0, float(up_tmp.max()) if m else 1.0)
+            f.imp_y_up = up if up > 0.0 else 1.0
+        if has_low:
+            low = min(-1.0, float(low_tmp.min()) if m else -1.0)
+            f.imp_y_low = low if low < 0.0 else -1.0
+
+    half = nlp // 2
+    if np.any(lp.c[:half] + lp.c[half:] != 0.0):
+        return
+    for i in range(m):
+        vals = lp.A[i][np.flatnonzero(lp.A[i])]
+        hn, rem = divmod(vals.size, 2)
+        if rem or np.any(vals[:hn] + vals[hn:] != 0.0):
+            return
+    f.no_dual_interior = True

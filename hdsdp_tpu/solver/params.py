@@ -60,6 +60,14 @@ class Params:
     # path factors directly)
     kkt_solver: str = "auto"
     kkt_cg_threshold: int = 4096
+    # Arithmetic for the direct Schur factorization: "xla" — XLA's
+    # emulated-f64 Cholesky (VPU, ~0.02 Tflop/s); "dd" — double-single
+    # blocked Cholesky on the MXU (ops.ddchol, ~2^-45 accuracy, matches
+    # the reference's dpotrf semantics at f64 parity); "auto" picks dd
+    # on real TPU when m >= kkt_dd_threshold (below that the f64
+    # latency floor wins).
+    kkt_fp: str = "auto"
+    kkt_dd_threshold: int = 768
 
 
 def adjust_params(params: Params, f: Features) -> Params:

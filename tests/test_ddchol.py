@@ -73,3 +73,23 @@ def test_matches_f64_chol_well_conditioned():
     l_dd = np.asarray(ddchol.chol_f64(a, block=32))
     l_np = np.linalg.cholesky(a)
     assert np.abs(l_dd - l_np).max() < 1e-13 * np.abs(l_np).max()
+
+
+def test_dd_kkt_backend_golden_mcp100():
+    """End-to-end: the DD Schur backend reproduces the mcp100 golden
+    objective through the host loop (ref doc/hdsdp_doc.tm:1595-1615).
+
+    kkt_fp="dd" forces ops.ddchol for every direct factorization; the
+    run must match the f64 path's optimum to the DIMACS gate."""
+    import numpy as np
+    from hdsdp_tpu.solver.solver import solve_sdpa_file
+
+    r = solve_sdpa_file(
+        "/root/reference/examples/mcp100.dat-s",
+        verbose=False,
+        fused=False,
+        kkt_fp="dd",
+    )
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.d_obj == pytest.approx(-226.15735, rel=1e-4)
+    assert np.max(np.abs(r.dimacs)) < 1e-2
