@@ -147,6 +147,25 @@ def _ratio(L, s_lp, dS, ds_lp, mode: str = "auto", krylov: int = 30):
     return step
 
 
+@partial(jax.jit, static_argnames=("mode", "krylov"))
+def _ratio_warm(L, s_lp, dS, ds_lp, warms, mode: str = "auto", krylov: int = 30):
+    """Like _ratio, but carries Lanczos warm-start vectors per group
+    across IPM iterations (ref hdsdp_lanczos.c:166-178) and uses the
+    early-exit adaptive kernel for large blocks."""
+    step = jnp.asarray(INF, L[0].dtype if L else jnp.float64)
+    new_warms = []
+    for Lg, dSg, w in zip(L, dS, warms):
+        steps, warm = ratio_ops.block_ratio(
+            Lg, dSg, mode=mode, krylov=krylov, v0=w, return_warm=True
+        )
+        new_warms.append(warm)
+        step = jnp.minimum(step, jnp.min(steps))
+    if s_lp is not None:
+        step_lp = ratio_ops.vector_ratio_test(s_lp, ds_lp)
+        step = jnp.minimum(step, step_lp)
+    return step, tuple(new_warms)
+
+
 @jax.jit
 def _interior_check(groups, lp, dC, scal, y, dEye, tau, lo, up):
     """Fused assemble + factor + bound slacks: ONE dispatch, one packed
@@ -296,9 +315,20 @@ class ConeSystem:
 
     def ratio_test(self, L, s_lp, dS, ds_lp):
         """Max alpha with S + alpha*dS >= 0 over all cones
-        (ref HConeRatioTest; LP part per hdsdp_conic_lp.c:228-243)."""
-        return _ratio(L, s_lp, dS, ds_lp, mode=self.ratio_mode,
-                      krylov=self.lanczos_dim)
+        (ref HConeRatioTest; LP part per hdsdp_conic_lp.c:228-243).
+
+        Lanczos warm starts are carried on the system across calls
+        (ref HLanczos->dLanczosWarmStart): the Ritz image recorded by
+        the previous test seeds the next one."""
+        warms = getattr(self, "_lz_warm", None)
+        if warms is None or len(warms) != len(L):
+            warms = (None,) * len(L)
+        step, warms = _ratio_warm(
+            L, s_lp, dS, ds_lp, warms,
+            mode=self.ratio_mode, krylov=self.lanczos_dim,
+        )
+        self._lz_warm = warms
+        return step
 
     # -- add step to buffer and check (ref sdpDenseConeAddStepToBufferAndCheck)
     def add_step_check(self, S, s_lp, dS, ds_lp, alpha):

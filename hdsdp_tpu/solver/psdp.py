@@ -44,6 +44,37 @@ def _xsx(X, S):
     return jnp.einsum("gij,gjk,gkl->gil", X, S, X, optimize=True)
 
 
+@jax.jit
+def _primal_ratio(X, dX):
+    """PSD-check every block of X and bound max a with X + a dX >= 0.
+
+    One dispatch for all groups; large blocks go through the Lanczos
+    ratio test exactly as the dual side does (the reference gives each
+    cone its own primal Lanczos, hdsdp_psdp.c:19-29) instead of a
+    per-block host loop of exact eigh calls.
+    """
+    ok = jnp.bool_(True)
+    step = jnp.asarray(1e30, X[0].dtype)
+    for Xg, dXg in zip(X, dX):
+        okg, LX = chol_ops.psd_check(Xg)
+        ok = jnp.logical_and(ok, okg)
+        steps = ratio_ops.block_ratio(LX, dXg, mode="auto")
+        step = jnp.minimum(step, jnp.min(steps))
+    return ok, step
+
+
+@jax.jit
+def _post_step(X, S):
+    """Joint PSD check of the stepped X and complementarity tr(XS)."""
+    ok = jnp.bool_(True)
+    compl = jnp.asarray(0.0, X[0].dtype)
+    for Xg, Sg in zip(X, S):
+        okg, _ = chol_ops.psd_check(Xg)
+        ok = jnp.logical_and(ok, okg)
+        compl = compl + jnp.sum(Xg * Sg)
+    return ok, compl
+
+
 class PSDPRefiner:
     """Primal refinement driver bound to a DualIPM instance."""
 
@@ -131,16 +162,14 @@ class PSDPRefiner:
                 for bg, Xs, dSg in zip(buf, Xscal, dS)
             ]
 
-            # primal ratio test: X + a dX >= 0 via chol(X) congruence
-            p_step = 1e30
-            for Xg, dXg in zip(X, dX):
-                okX, LX = chol_ops.psd_check(Xg)
-                if not bool(okX):
-                    ipm.y = y_backup
-                    ipm.check_is_interior(1.0, ipm.y)
-                    return False
-                steps = ratio_ops.exact_ratio_test(LX, dXg)
-                p_step = min(p_step, float(jnp.min(steps)))
+            # primal ratio test: X + a dX >= 0, all groups in one
+            # dispatch (Lanczos at size, exact eigh for small blocks)
+            okX, p_step_dev = _primal_ratio(tuple(X), tuple(dX))
+            if not bool(okX):
+                ipm.y = y_backup
+                ipm.check_is_interior(1.0, ipm.y)
+                return False
+            p_step = float(p_step_dev)
 
             p_step = min(0.5 * p_step, 1.0)
             d_step = min(0.5 * d_step, 1.0)
@@ -155,11 +184,8 @@ class PSDPRefiner:
                 return False
             ipm.y = y_new
 
-            ok_all = True
-            for Xg in X:
-                okX, _ = chol_ops.psd_check(Xg)
-                ok_all = ok_all and bool(okX)
-            if not ok_all:
+            ok_all, compl_dev = _post_step(tuple(X), tuple(ipm.S))
+            if not bool(ok_all):
                 ipm.y = y_backup
                 ipm.check_is_interior(1.0, ipm.y)
                 return False
@@ -167,9 +193,7 @@ class PSDPRefiner:
             # objective + barrier update (ref :352-383)
             d_obj = float(b @ ipm.y)
             p_obj = float(ipm.cones.ctx(X, None))
-            compl = 0.0
-            for Xg, Sg in zip(X, ipm.S):
-                compl += float(jnp.sum(Xg * Sg))
+            compl = float(compl_dev)
             if p_obj < d_obj:
                 ipm.y = y_backup
                 ipm.check_is_interior(1.0, ipm.y)
@@ -212,13 +236,9 @@ class PSDPRefiner:
 
             # small steps: refresh scaling matrix + refactor (ref :425-444)
             if (p_step < 1e-02 and d_step < 1e-02) or p_step < 1e-03:
+                # X was PSD-verified by _post_step above; rebuild the
+                # scaling matrix and refactor (ref :425-444)
                 Xscal = [Xg for Xg in X]
-                for Xg in Xscal:
-                    okX, _ = chol_ops.psd_check(Xg)
-                    if not bool(okX):
-                        ipm.y = y_backup
-                        ipm.check_is_interior(1.0, ipm.y)
-                        return False
                 factor_primal_kkt()
                 n_bad += 1
 
