@@ -186,23 +186,33 @@ def read_mps(path: str) -> MPSData:
     c_list = [c0]
     next_col = ncol0
 
-    # split free variables
+    # split free variables (x = x+ - x-); remember the x- column so a
+    # finite upper bound on a split variable can still be enforced below
+    split_col: Dict[int, int] = {}
     for j in np.where(neg_free)[0]:
         sel = Aj == j
         new_cols_i.append(Ai[sel])
         new_cols_j.append(np.full(sel.sum(), next_col))
         new_cols_v.append(-Av[sel])
         c_list.append(np.array([-c0[j]]))
+        split_col[j] = next_col
         next_col += 1
 
     c_extra = np.concatenate(c_list[1:]) if len(c_list) > 1 else np.zeros(0)
 
-    # inequality rows -> slack columns; RANGES make two-sided rows
-    extra_rows = 0
+    # inequality rows -> slack columns.  A RANGES entry r turns row i into
+    # the two-sided constraint lo <= a'x <= hi (IBM MPS standard, matching
+    # the reference reader external/lp_mps.c):
+    #     L:  b - |r| <= a'x <= b         a'x + s = b,      0 <= s <= |r|
+    #     G:  b <= a'x <= b + |r|         a'x - s = b,      0 <= s <= |r|
+    #     E, r > 0:  b <= a'x <= b + r    a'x - s = b,      0 <= s <= r
+    #     E, r < 0:  b + r <= a'x <= b    a'x - s = b + r,  0 <= s <= -r
+    # The slack's upper bound is enforced exactly like a variable upper
+    # bound: an extra row  s + t = |r|  with fresh t >= 0.
     slack_i: List[int] = []
     slack_j: List[int] = []
     slack_v: List[float] = []
-    b_extra: List[float] = []
+    slack_ub: List[Tuple[int, float]] = []  # (slack column, upper bound)
     for rname in row_order:
         i = row_id[rname]
         s = row_sense[rname]
@@ -211,19 +221,23 @@ def read_mps(path: str) -> MPSData:
             slack_i.append(i)
             slack_j.append(next_col)
             slack_v.append(1.0)
-            next_col += 1
             if rng is not None:
-                # b - |r| <= a'x <= b : bounded slack -> extra row
-                pass
+                slack_ub.append((next_col, abs(rng)))
+            next_col += 1
         elif s == "G":
             slack_i.append(i)
             slack_j.append(next_col)
             slack_v.append(-1.0)
-            next_col += 1
-        elif s == "E":
             if rng is not None:
-                pass
-        # RANGES handling beyond simple cases deferred
+                slack_ub.append((next_col, abs(rng)))
+            next_col += 1
+        elif s == "E" and rng is not None and rng != 0.0:
+            slack_i.append(i)
+            slack_j.append(next_col)
+            slack_v.append(-1.0)
+            slack_ub.append((next_col, abs(rng)))
+            b0[i] += min(rng, 0.0)
+            next_col += 1
 
     ncol = next_col
     c = np.zeros(ncol)
@@ -235,26 +249,39 @@ def read_mps(path: str) -> MPSData:
     all_j = np.concatenate(new_cols_j + [np.asarray(slack_j, dtype=np.int64)])
     all_v = np.concatenate(new_cols_v + [np.asarray(slack_v, dtype=np.float64)])
 
-    # bounded original variables -> extra rows x_j + s = u_j
-    fin_u = np.where(np.isfinite(upper) & finite_l)[0]
-    ups = []
-    for j in fin_u:
-        ups.append((j, upper[j]))
-    nrow_total = nrow + len(ups) + extra_rows
-    b_full = np.concatenate([b0, np.array([u for _, u in ups])])
-    ub_i = []
-    ub_j = []
-    ub_v = []
-    for k, (j, _) in enumerate(ups):
-        ub_i.extend([nrow + k, nrow + k])
-        ub_j.extend([j, ncol + k])
-        ub_v.extend([1.0, 1.0])
-    if ups:
+    # upper bounds -> extra rows.  Three sources:
+    #   plain variables:  x_j + t = u_j
+    #   split variables:  x_j+ - x_j- + t = u_j
+    #   ranged-row slacks: s + t = |r|
+    ub_rows: List[Tuple[List[Tuple[int, float]], float]] = []
+    for j in np.where(np.isfinite(upper))[0]:
+        if finite_l[j]:
+            ub_rows.append(([(int(j), 1.0)], float(upper[j])))
+        else:
+            ub_rows.append(
+                ([(int(j), 1.0), (split_col[int(j)], -1.0)], float(upper[j]))
+            )
+    for jcol, u in slack_ub:
+        ub_rows.append(([(jcol, 1.0)], u))
+    nrow_total = nrow + len(ub_rows)
+    b_full = np.concatenate([b0, np.array([u for _, u in ub_rows])])
+    ub_i: List[int] = []
+    ub_j: List[int] = []
+    ub_v: List[float] = []
+    for k, (ents, _) in enumerate(ub_rows):
+        for jcol, v in ents:
+            ub_i.append(nrow + k)
+            ub_j.append(jcol)
+            ub_v.append(v)
+        ub_i.append(nrow + k)
+        ub_j.append(ncol + k)
+        ub_v.append(1.0)
+    if ub_rows:
         all_i = np.concatenate([all_i, np.asarray(ub_i)])
         all_j = np.concatenate([all_j, np.asarray(ub_j)])
         all_v = np.concatenate([all_v, np.asarray(ub_v)])
-        c = np.concatenate([c, np.zeros(len(ups))])
-        ncol += len(ups)
+        c = np.concatenate([c, np.zeros(len(ub_rows))])
+        ncol += len(ub_rows)
 
     # build CSC
     order = np.lexsort((all_i, all_j))

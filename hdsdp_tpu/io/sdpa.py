@@ -72,6 +72,38 @@ def _tokenize_header_ints(line: str) -> List[int]:
     return [int(float(t)) for t in _SEP_RE.sub(" ", line).split()]
 
 
+def write_sdpa(data: SDPAData, path_or_buf) -> None:
+    """Write ``SDPAData`` back out as an SDPA sparse (.dat-s) file.
+
+    Inverse of :func:`read_sdpa`: objective (con=0) entries are re-negated
+    on output (the reader negated them, ref hdsdp_file_io.c:234-250), and
+    an LP block is emitted as a trailing negative-dimension diagonal block.
+    Used to hand instances to other SDPA-format solvers (e.g. the reference
+    binary) for cross-validation and benchmarking.
+    """
+
+    own = not hasattr(path_or_buf, "write")
+    f = open(path_or_buf, "w") if own else path_or_buf
+    try:
+        dims = list(data.block_dims) + ([-data.lp.ncols] if data.lp else [])
+        f.write(f"{data.m}\n{len(dims)}\n")
+        f.write(" ".join(str(d) for d in dims) + "\n")
+        f.write(" ".join(repr(float(v)) for v in data.b) + "\n")
+        for j, blk in enumerate(data.blocks):
+            sgn = np.where(blk.con == 0, -1.0, 1.0)
+            for c, r, cc, v in zip(blk.con, blk.row, blk.col, sgn * blk.val):
+                # reader normalized to row >= col; SDPA wants i <= j
+                f.write(f"{c} {j + 1} {cc + 1} {r + 1} {float(v)!r}\n")
+        if data.lp is not None:
+            sgn = np.where(data.lp.con == 0, -1.0, 1.0)
+            jb = len(data.blocks) + 1
+            for c, i, v in zip(data.lp.con, data.lp.var, sgn * data.lp.val):
+                f.write(f"{c} {jb} {i + 1} {i + 1} {float(v)!r}\n")
+    finally:
+        if own:
+            f.close()
+
+
 def read_sdpa(path_or_buf) -> SDPAData:
     """Read an SDPA sparse file into raw per-block COO arrays."""
 

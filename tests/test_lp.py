@@ -93,3 +93,41 @@ def test_lp_primal_phase_runs():
     assert solver.last_method == "primal"
     assert r.status == "PRIMAL_DUAL_OPTIMAL"
     assert r.p_obj == pytest.approx(r.d_obj, rel=1e-6)
+
+
+RANGED_MPS = """NAME          RANGED
+ROWS
+ N  COST
+ L  R1
+ G  R2
+ E  R3
+COLUMNS
+    X1        COST      -1.0   R1   1.0
+    X1        R2         1.0   R3   1.0
+    X2        COST      -2.0   R1   1.0
+    X2        R2        -1.0   R3   2.0
+RHS
+    RHS       R1         4.0   R2  -1.0
+    RHS       R3         3.0
+RANGES
+    RNG       R1         2.0   R2   3.0
+    RNG       R3         {r3}
+ENDATA
+"""
+
+
+@pytest.mark.parametrize(
+    "r3,obj",
+    [
+        (4.0, -6.5),  # E range > 0:  3 <= x1+2x2 <= 7
+        (-4.0, -3.0),  # E range < 0: -1 <= x1+2x2 <= 3
+    ],
+)
+def test_lp_ranges_full_semantics(tmp_path, r3, obj):
+    """Two-sided rows via RANGES incl. signed E-row ranges
+    (ref external/lp_mps.c semantics; hand-computed optima)."""
+    path = tmp_path / "ranged.mps"
+    path.write_text(RANGED_MPS.format(r3=r3))
+    r = solve_mps_file(str(path), verbose=False)
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.p_obj == pytest.approx(obj, rel=1e-6)
