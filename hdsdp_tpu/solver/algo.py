@@ -158,6 +158,54 @@ class DualIPM:
         self.log = Logger(enabled=params.verbose)
         self._factor_stats = {"n_factor": 0, "n_solve": 0, "n_kkt": 0}
 
+        self.region = None
+        if params.profile:
+            self._install_profiler()
+
+    def _install_profiler(self) -> None:
+        """Wrap the hot stages in wall-clock regions (utils.profile.Region,
+        ref HDSDP_CODE_PROFILER_START/END hdsdp_utils.h:55-70).  Each
+        wrapper blocks on the stage's device outputs so the accumulators
+        attribute async dispatch time to the stage that issued it."""
+        import functools
+
+        from hdsdp_tpu.utils.profile import Region
+
+        self.region = Region()
+
+        def wrap(name):
+            fn = getattr(self, name)
+
+            @functools.wraps(fn)
+            def timed(*a, **kw):
+                with self.region(name):
+                    out = fn(*a, **kw)
+                    if out is not None:
+                        jax.block_until_ready(out)
+                    elif name == "factor_kkt" and self.Mfac is not None:
+                        jax.block_until_ready(self.Mfac[1])
+                    return out
+
+            setattr(self, name, timed)
+
+        for name in (
+            "build_kkt",
+            "factor_kkt",
+            "solve_kkt",
+            "solve_kkt_multi",
+            "prox_measure",
+            "ratio_test",
+            "adaptive_resi_rate",
+            "infeasible_corrector",
+            "feasible_corrector",
+            "reduce_potential",
+            "check_is_interior",
+            "primal_infeas_check",
+            "choose_barrier",
+            "set_step",
+        ):
+            wrap(name)
+
     # ------------------------------------------------------------------
     # bound cone helpers (ref hdsdp_conic_bound.c)
     # ------------------------------------------------------------------

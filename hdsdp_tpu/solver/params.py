@@ -42,6 +42,9 @@ class Params:
     lanczos_dim: int = 30
     verbose: bool = True
     model_notes: str = ""
+    # stage wall-clock profiling of the host loop (utils.profile.Region);
+    # result lands in DualIPM.region (ref HDSDP_CODE_PROFILER analogue)
+    profile: bool = False
     # Fusion mode for the IPM phases (hdsdp_tpu.solver.fused):
     #   "phase" — each phase is ONE in-graph while-loop dispatch (best
     #             for small shapes; XLA's while-loop compile time is
