@@ -130,78 +130,215 @@ def pcg(
     )
 
 
-class AdaptiveCG:
-    """Host-side policy wrapper: Jacobi -> (stale) Cholesky escalation.
+@partial(jax.jit, static_argnames=("f32",))
+def _equilibrated_factor(M, f32: bool = True):
+    """Jacobi-equilibrated Cholesky preconditioner of an f64 SPD M.
 
-    Carries a possibly stale Cholesky preconditioner across consecutive
-    KKT systems (the ADPCG idea): refreshed only when CG with the stale
-    factor stops converging quickly.  Multi-RHS solves vmap the single
-    while-loop PCG over the columns (one dispatch for all right-hand
-    sides).  Callers must check ``last_status`` / the ``ok`` flag of the
-    *_checked entry points: on failure the caller escalates to a direct
+    D^-1/2 M D^-1/2 has unit diagonal and entries in [-1, 1] (SPD), so
+    an f32 cast can neither overflow nor lose the scale information;
+    the equilibration is also the optimal diagonal preconditioning up to
+    a factor n.  Returns (L, s, ok) with s = 1/sqrt(diag(M)); L is f32
+    (the fast path) or f64 (the escalation tier for kappa > 1/eps_f32).
+    """
+    d = jnp.diag(M)
+    s = jax.lax.rsqrt(jnp.where(d > 0.0, d, 1.0))
+    Ms = M * s[:, None] * s[None, :]
+    if f32:
+        Ms = Ms.astype(jnp.float32)
+    L = jnp.linalg.cholesky(Ms)
+    ok = jnp.all(jnp.isfinite(L))
+    return L, s, ok
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def refine_solve(M, L32, s, B, max_iter: int = 40,
+                 abs_tol: float = 1e-10, rel_tol: float = 1e-10):
+    """Mixed-precision iterative refinement: f32 factor, f64 residuals.
+
+    Solves M X = B [m, k] to f64 accuracy using only the f32 Cholesky
+    preconditioner from :func:`_f32_factor` plus f64 matmuls:
+
+        X += D^-1/2 (L32 L32^T)^-1 D^-1/2 R,   R = B - M X.
+
+    Each sweep contracts the error by ~kappa(M) * eps_f32; near an IPM's
+    endgame kappa can exceed 1/eps_f32, in which case the loop stalls
+    and the caller escalates to a full-precision factorization.  This is
+    the TPU-native analogue of the reference's Cholesky-preconditioned
+    CG with a *stale* factor (ref conjGradSolve hdsdp_linsolver.c:
+    1446-1588 + the ADPCG refresh policy): the expensive O(m^3) work
+    runs in fast native f32, the O(m^2 k) residuals keep f64.
+    """
+
+    bnorm = jnp.max(jnp.linalg.norm(B, axis=0))
+    # infinity norm of M for the backward-stable acceptance level: a
+    # residual below ~eps64 * (|B| + |M||X|) is what an exact f64 direct
+    # solve would leave -- demanding less is unreachable at high kappa
+    mnorm = jnp.max(jnp.sum(jnp.abs(M), axis=1))
+    eps64 = jnp.float64(2.220446049250313e-16)
+
+    def apply_p(R):
+        U = (s[:, None] * R).astype(L32.dtype)
+        T = chol_apply(L32, U)
+        return s[:, None] * T.astype(jnp.float64)
+
+    def tol_for(X):
+        xnorm = jnp.max(jnp.linalg.norm(X, axis=0))
+        stable = 16.0 * eps64 * (bnorm + mnorm * xnorm)
+        return jnp.maximum(jnp.maximum(abs_tol, rel_tol * bnorm), stable)
+
+    X0 = apply_p(B)
+    R0 = B - M @ X0
+    rn0 = jnp.max(jnp.linalg.norm(R0, axis=0))
+
+    def cond(c):
+        X, R, rn_prev, it, status = c
+        return status < 0
+
+    def body(c):
+        X, R, rn_prev, it, status = c
+        X = X + apply_p(R)
+        R = B - M @ X
+        rn = jnp.max(jnp.linalg.norm(R, axis=0))
+        status = jnp.where(rn != rn, STATUS_NUMERICAL, status)
+        status = jnp.where(
+            jnp.logical_and(status < 0, rn < tol_for(X)), STATUS_OK, status
+        )
+        # stalled contraction: a better factor is needed (ref CG stall
+        # bail-out semantics, hdsdp_linsolver.c:1543-1546)
+        status = jnp.where(
+            jnp.logical_and(status < 0, rn > 0.9 * rn_prev),
+            STATUS_MAXITER,
+            status,
+        )
+        status = jnp.where(
+            jnp.logical_and(status < 0, it + 1 >= max_iter),
+            STATUS_MAXITER,
+            status,
+        )
+        return X, R, rn, it + 1, status
+
+    init_status = jnp.where(
+        rn0 < tol_for(X0), STATUS_OK, jnp.asarray(-1, jnp.int32)
+    )
+    init_status = jnp.where(rn0 != rn0, STATUS_NUMERICAL, init_status)
+    X, R, rn, it, status = jax.lax.while_loop(
+        cond, body, (X0, R0, rn0, jnp.asarray(0, jnp.int32), init_status)
+    )
+    return X, status, it
+
+
+def chol_apply(L, U):
+    """(L L^T)^-1 U with both triangular solves in L's dtype."""
+    from jax.scipy.linalg import solve_triangular
+
+    T = solve_triangular(L, U, lower=True)
+    return solve_triangular(L, T, lower=True, trans=1)
+
+
+class AdaptiveCG:
+    """Host-side policy around the mixed-precision Schur solver.
+
+    Carries a possibly STALE f32 preconditioner across consecutive KKT
+    systems (the ADPCG idea, ref derivative/ADPCG/src/adpcg.c): the
+    factor is refreshed only when refinement with the stale one stops
+    converging quickly.  This is what makes an IPM endgame cheap: near
+    convergence M changes slowly, so dozens of iterations reuse one
+    factorization (the reference's phase-B behavior with its default
+    HDSDP_LINSYS_DENSE_ITERATIVE backend).
+
+    Callers must check ``last_status`` / the ``ok`` flag of the
+    *_checked entry points: on failure (f32 factor cannot represent M's
+    conditioning) the caller escalates to a full-precision direct
     factorization (ref HFpLinsysSwitchToIndefinite,
     hdsdp_linsolver.c:1827-1857) instead of iterating on NaNs.
     """
 
-    def __init__(self, max_iter=None, restart_freq=20,
-                 abs_tol=1e-06, rel_tol=1e-06, reuse_threshold=15):
+    def __init__(self, max_iter=40, restart_freq=20,
+                 abs_tol=1e-10, rel_tol=1e-10, reuse_threshold=8):
         self.max_iter = max_iter
-        self.restart_freq = restart_freq
+        self.restart_freq = restart_freq  # kept for API compat
         self.abs_tol = abs_tol
         self.rel_tol = rel_tol
         self.reuse_threshold = reuse_threshold
-        self.chol_fac = None  # stale Cholesky preconditioner
+        self.chol_fac = None  # (L, s) stale preconditioner (f32 or f64)
+        self._fresh = False  # factor computed for the current M
+        self._f64_left = 0  # systems left before retrying the f32 tier
         self.n_factor = 0
         self.n_solve = 0
         self.last_iters = 0
         self.last_status = STATUS_OK
 
-    def _direct_factor(self, M):
-        L = jnp.linalg.cholesky(M)
-        self.n_factor += 1
-        return L
+    def update(self, M) -> None:
+        """New KKT system: the stale factor stays unless flagged."""
+        self._fresh = False
+        if self._f64_left > 0:
+            self._f64_left -= 1
 
-    def _run(self, M, rhs_mat, precond, use_chol):
-        """Vmapped PCG over RHS columns: rhs_mat [m, k] -> CGResult batched."""
-        m = M.shape[0]
-        max_iter = self.max_iter or max(50, m // 20)
-        f = partial(
-            pcg, max_iter=max_iter, restart_freq=self.restart_freq,
-            abs_tol=self.abs_tol, rel_tol=self.rel_tol, use_chol=use_chol,
+    def _factor(self, M, f32: bool) -> bool:
+        L, s, ok = _equilibrated_factor(M, f32=f32)
+        self.n_factor += 1
+        self._fresh = True
+        if not bool(ok):
+            self.chol_fac = None
+            return False
+        self.chol_fac = (L, s)
+        return True
+
+    def _refine(self, M, rhs_mat):
+        X, status, iters = refine_solve(
+            M, *self.chol_fac, rhs_mat, max_iter=self.max_iter,
+            abs_tol=self.abs_tol, rel_tol=self.rel_tol,
         )
-        return jax.vmap(f, in_axes=(None, 1, None))(M, rhs_mat, precond)
+        self.last_iters = int(iters)
+        self.last_status = int(status)
+        return X, self.last_status == STATUS_OK
 
     def solve_mat_checked(self, M, rhs_mat):
-        """Solve M X = rhs_mat [m, k].  Returns (X [m, k], ok)."""
+        """Solve M X = rhs_mat [m, k].  Returns (X [m, k], ok).
+
+        Tiers: stale factor -> fresh f32 factor -> fresh f64 factor ->
+        report failure (caller escalates to the direct ladder, e.g. the
+        double-single factorization, ref hdsdp_linsolver.c:1827-1857).
+        After an f32 fresh-factor failure the policy prefers f64 factors
+        for the next few systems, then retries f32 (conditioning
+        fluctuates across IPM iterations).
+
+        The RHS block is padded to a fixed width so the jitted
+        refinement compiles at most twice (one per factor dtype)."""
         k = rhs_mat.shape[1]
         self.n_solve += k
+        if k < 4:
+            rhs_mat = jnp.pad(rhs_mat, ((0, 0), (0, 4 - k)))
+        out = self._solve_padded(M, rhs_mat)
+        return out[0][:, :k], out[1]
+
+    def _solve_padded(self, M, rhs_mat):
 
         if self.chol_fac is not None:
-            # stale-Cholesky-preconditioned CG (usually 1-5 iterations)
-            res = self._run(M, rhs_mat, self.chol_fac, True)
-            self.last_iters = int(jnp.max(res.iters))
-            if bool(jnp.all(res.status == STATUS_OK)):
-                self.last_status = STATUS_OK
+            X, ok = self._refine(M, rhs_mat)
+            if ok:
                 if self.last_iters > self.reuse_threshold:
-                    self.chol_fac = None  # refresh next time
-                return res.x.T, True
-            self.chol_fac = None
+                    self.chol_fac = None  # refresh on the next system
+                return X, True
+            if self._fresh and self.chol_fac[0].dtype == jnp.float64:
+                self.chol_fac = None
+                return X, False  # fresh f64 factor did not converge
+            self.chol_fac = None  # stale (or fresh-f32): escalate below
 
-        # Jacobi CG first (ref default), escalate to Cholesky on stall
-        res = self._run(M, rhs_mat, jnp.diag(M), False)
-        self.last_iters = int(jnp.max(res.iters))
-        if bool(jnp.all(res.status == STATUS_OK)):
-            self.last_status = STATUS_OK
-            return res.x.T, True
+        if self._f64_left == 0:
+            if self._factor(M, f32=True):
+                X, ok = self._refine(M, rhs_mat)
+                if ok:
+                    return X, True
+            self._f64_left = 8  # prefer f64 for a while, then retry f32
 
-        self.chol_fac = self._direct_factor(M)
-        res = self._run(M, rhs_mat, self.chol_fac, True)
-        self.last_iters = int(jnp.max(res.iters))
-        self.last_status = int(jnp.max(res.status))
-        ok = bool(jnp.all(res.status == STATUS_OK))
+        if not self._factor(M, f32=False):
+            self.last_status = STATUS_NUMERICAL
+            return rhs_mat, False
+        X, ok = self._refine(M, rhs_mat)
         if not ok:
-            self.chol_fac = None  # the factor did not help; drop it
-        return res.x.T, ok
+            self.chol_fac = None
+        return X, ok
 
     def solve_checked(self, M, rhs):
         """Solve M x = rhs.  Returns (x, ok)."""

@@ -400,6 +400,7 @@ class DualIPM:
                 from hdsdp_tpu.ops.cg import AdaptiveCG
 
                 self._cg = AdaptiveCG(abs_tol=1e-10, rel_tol=1e-10)
+            self._cg.update(M)
             self.Mfac = ("cg", M)
             return
         self._direct_factor(M)

@@ -201,7 +201,18 @@ def build_kkt(c: Cones, L, s_lp, Rd, kind: str):
     return M, asinv, Rd * trsas, asinvcsinv, csinv, csinvcsinv, csinvrdsinv, tr_u
 
 
-def factor_m(M):
+# Schur-system backend for the fused bodies.  "mp" switches factor_m /
+# solve_m to the mixed-precision path at TRACE time (the flag is part of
+# the program cache key, like _RATIO_CFG): factor in fast native f32,
+# solve by f64 iterative refinement (ops.cg.refine_solve), with an
+# in-graph f64 regularization-ladder fallback gated by a probe solve.
+# On TPU this replaces the ~50x-slower emulated-f64 Cholesky for every
+# KKT factorization (ref default backend HDSDP_LINSYS_DENSE_ITERATIVE,
+# hdsdp_schur.c:19 + conjGradSolve hdsdp_linsolver.c:1446-1588).
+_KKT_CFG = {"mp": False}
+
+
+def _factor_m_f64(M):
     """Cholesky with in-graph regularization ladder (algo.factor_kkt)."""
     L = jnp.linalg.cholesky(M)
     ok = chol_ops.chol_ok(L)
@@ -224,8 +235,56 @@ def factor_m(M):
     return L, ok
 
 
+def _factor_m_mp(M):
+    """f32 equilibrated factor + probe; f64 ladder only when the probe
+    shows refinement cannot reach f64 accuracy (kappa ~> 1/eps_f32)."""
+    from hdsdp_tpu.ops import cg as cg_ops
+
+    d = jnp.diag(M)
+    s = jax.lax.rsqrt(jnp.where(d > 0.0, d, 1.0))
+    Ms32 = (M * s[:, None] * s[None, :]).astype(jnp.float32)
+    L32 = jnp.linalg.cholesky(Ms32)
+    ok32 = jnp.all(jnp.isfinite(L32))
+    L32 = jnp.where(ok32, L32, jnp.eye(M.shape[0], dtype=jnp.float32))
+
+    probe = jnp.ones((M.shape[0], 1), M.dtype)
+    _, p_status, _ = cg_ops.refine_solve(M, L32, s, probe, max_iter=20)
+    need64 = jnp.logical_or(
+        jnp.logical_not(ok32), p_status != cg_ops.STATUS_OK
+    )
+
+    Lf64, ok = jax.lax.cond(
+        need64,
+        lambda _: _factor_m_f64(M),
+        lambda _: (jnp.zeros_like(M), jnp.asarray(True)),
+        None,
+    )
+    return (M, L32, s, Lf64, need64), ok
+
+
+def factor_m(M):
+    if _KKT_CFG["mp"]:
+        return _factor_m_mp(M)
+    return _factor_m_f64(M)
+
+
 def solve_m(Lm, rhs):
-    return chol_ops.chol_solve(Lm, rhs)
+    if not _KKT_CFG["mp"]:
+        return chol_ops.chol_solve(Lm, rhs)
+    from hdsdp_tpu.ops import cg as cg_ops
+
+    M, L32, s, Lf64, need64 = Lm
+    rhs2 = rhs[:, None] if rhs.ndim == 1 else rhs
+
+    def direct(r):
+        return chol_ops.chol_solve(Lf64, r)
+
+    def refine(r):
+        X, _, _ = cg_ops.refine_solve(M, L32, s, r, max_iter=30)
+        return X
+
+    X = jax.lax.cond(need64, direct, refine, rhs2)
+    return X[:, 0] if rhs.ndim == 1 else X
 
 
 # ----------------------------------------------------------------------
@@ -1632,7 +1691,7 @@ def _cache_key(ipm, phase, extra):
     )
     lp_shape = None if ipm.cones.lp is None else ipm.cones.lp.A.shape
     ratio = (_RATIO_CFG["mode"], _RATIO_CFG["krylov"])
-    return (phase, shapes, lp_shape, ipm.m, ratio, extra)
+    return (phase, shapes, lp_shape, ipm.m, ratio, _KKT_CFG["mp"], extra)
 
 
 def _drive_iterated(ipm, body_fn, st, max_iter: int, is_phase_b: bool):
@@ -1657,6 +1716,22 @@ def _drive_iterated(ipm, body_fn, st, max_iter: int, is_phase_b: bool):
             return st._replace(status=jnp.asarray(-2, jnp.int32))  # TIMELIMIT
 
 
+def _use_mp(ipm) -> bool:
+    """Engage the mixed-precision Schur backend (auto: real TPU + large m,
+    where XLA's emulated-f64 Cholesky dominates the iteration)."""
+    mp = ipm.params.kkt_mp
+    if mp == "on":
+        return True
+    if mp != "auto" or ipm.dtype != jnp.float64:
+        return False
+    if ipm.m < ipm.params.kkt_mp_threshold:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
     """Fused counterpart of DualIPM.solve.
 
@@ -1674,6 +1749,7 @@ def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
     ipm.psdp = None
     _RATIO_CFG["mode"] = p.ratio_test
     _RATIO_CFG["krylov"] = p.lanczos_dim
+    _KKT_CFG["mp"] = _use_mp(ipm)
 
     # ---- Phase A prologue (host, mirrors algo.phase_a before the loop)
     ipm.which_method = "infeas"

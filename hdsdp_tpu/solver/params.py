@@ -71,6 +71,13 @@ class Params:
     # latency floor wins).
     kkt_fp: str = "auto"
     kkt_dd_threshold: int = 768
+    # Mixed-precision Schur solves inside the FUSED bodies: factor in
+    # native f32 (Jacobi-equilibrated), solve by f64 iterative
+    # refinement, probe-gated in-graph f64-ladder fallback (ref default
+    # iterative backend, hdsdp_schur.c:19).  "auto" engages on real TPU
+    # at m >= kkt_mp_threshold; "on"/"off" force.
+    kkt_mp: str = "auto"
+    kkt_mp_threshold: int = 768
 
 
 def adjust_params(params: Params, f: Features) -> Params:

@@ -38,11 +38,12 @@ def test_adaptive_cg_escalates_on_illconditioned():
     x = cg.solve(M, rhs)
     x_ref = np.linalg.solve(np.asarray(M), np.asarray(rhs))
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-5, atol=1e-6)
-    assert cg.n_factor >= 1  # Jacobi stalled -> Cholesky preconditioner
+    assert cg.n_factor >= 1  # f32 tier stalled -> f64 preconditioner
     # second solve with a nearby matrix reuses the stale factor
+    nf = cg.n_factor
     x2 = cg.solve(M + 1e-6 * jnp.eye(m), rhs)
     np.testing.assert_allclose(np.asarray(x2), x_ref, rtol=1e-4, atol=1e-5)
-    assert cg.n_factor == 1
+    assert cg.n_factor == nf
 
 
 def test_sharded_pcg_matches_direct():

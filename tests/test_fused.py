@@ -83,3 +83,16 @@ def test_program_cache_not_poisoned_across_problems():
     assert ra.d_obj == pytest.approx(ha.d_obj, rel=1e-6)
     assert rb.d_obj == pytest.approx(hb.d_obj, rel=1e-6)
     assert abs(ra.d_obj - rb.d_obj) > 1e-6  # genuinely different problems
+
+
+def test_fused_mixed_precision_golden():
+    """kkt_mp="on" (f32 factor + f64 refinement, probe-gated f64 ladder)
+    reproduces the golden objective through the fused path."""
+    from hdsdp_tpu.solver.solver import solve_sdpa_file
+
+    r = solve_sdpa_file(
+        "/root/reference/examples/theta1.dat-s",
+        verbose=False, fused="iter", kkt_mp="on",
+    )
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert abs(r.d_obj + 23.0) < 1e-6 * 23.0
