@@ -25,7 +25,16 @@ Design notes (TPU-first, NOT a port):
     jax.sharding.Mesh (see hdsdp_tpu.parallel).
 """
 
+import os
+
 import jax
+
+# Honor JAX_PLATFORMS even when an out-of-tree platform plugin would
+# otherwise take priority: the env var can lose to plugin registration
+# order, the config update cannot (same guard as __main__ and the test
+# conftest — without it "JAX_PLATFORMS=cpu python ..." still runs on TPU).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # The interior-point method uses Cholesky success/failure as a PSD predicate
 # and drives duality gaps to 1e-8: double precision is required, exactly as

@@ -197,6 +197,102 @@ def theta_sdpa(n: int = 300, n_edges: int = 4374, seed: int = 0) -> SDPAData:
     return data
 
 
+def control_sdpa(k: int = 30, n_sys: int = 2, seed: int = 0) -> SDPAData:
+    """Lyapunov/control SDP (SDPLIB control* family structure).
+
+    SDPLIB's control1-11 instances are control-theory SDPs whose dual
+    variable is a symmetric matrix P and whose blocks are Lyapunov
+    operators of P (Vandenberghe-Boyd SP test set).  This generator
+    reproduces that structure exactly:
+
+        min  tr(P)
+        s.t. -(A_s' P + P A_s) >= I   for s = 1..n_sys
+             P >= 0
+
+    with y = vech(P) (m = k(k+1)/2 dual variables) and n_sys + 1 blocks
+    of dimension k.  Each Lyapunov coefficient A_s' E_i + E_i A_s has
+    rank <= 4 but full support — the multi-slot (r = 4) slot-major
+    Schur path, which neither the theta (rank 2, support 2) nor maxcut
+    (rank 1) families exercise.
+
+    The A_s are made strictly dissipative (A_s + A_s' < -c I) so P = a I
+    is strictly feasible.  For n_sys = 1 the optimum is known in closed
+    form: tr(P*) with A' P* + P* A = -I (scipy.linalg.solve_lyapunov),
+    since any feasible P satisfies P >= P* by the integral representation
+    of the Lyapunov solution.
+    """
+    rng = np.random.default_rng(seed)
+
+    # basis E_i of symmetric k x k matrices, i = PACK index of (a, b)
+    au, bu = np.tril_indices(k)
+    m = len(au)  # k(k+1)/2
+
+    # strictly dissipative stable systems
+    systems = []
+    for _ in range(n_sys):
+        G = rng.normal(size=(k, k)) / np.sqrt(k)
+        lam = 0.5 * np.linalg.norm(G + G.T, 2) + 0.5
+        systems.append(G - lam * np.eye(k))
+
+    # b_i = -tr(E_i): -1 on diagonal basis entries (max b'y = -min tr P)
+    b = np.where(au == bu, -1.0, 0.0)
+
+    data = SDPAData(m=m, block_dims=[k] * (n_sys + 1), b=b)
+    nnz = 0
+
+    # block 0: S_0 = P  (C_0 = 0, A_{i,0} = -E_i)
+    cons = [np.arange(1, m + 1, dtype=np.int32)]
+    rows = [au.astype(np.int32)]
+    cols = [bu.astype(np.int32)]
+    vals = [np.full(m, -1.0)]
+    data.blocks.append(
+        BlockEntries(
+            dim=k,
+            con=np.concatenate(cons),
+            row=np.concatenate(rows),
+            col=np.concatenate(cols),
+            val=np.concatenate(vals),
+        )
+    )
+    nnz += m
+
+    # blocks s: S_s = -I - sum_i y_i (A_s' E_i + E_i A_s)
+    for A in systems:
+        entries: dict = {}
+        cons, rows, cols, vals = [], [], [], []
+        d = np.arange(k, dtype=np.int32)
+        cons.append(np.zeros(k, np.int32))
+        rows.append(d)
+        cols.append(d)
+        vals.append(np.full(k, -1.0))
+        for i in range(m):
+            a_idx, b_idx = int(au[i]), int(bu[i])
+            E = np.zeros((k, k))
+            E[a_idx, b_idx] = 1.0
+            E[b_idx, a_idx] = 1.0
+            Ai = A.T @ E + E @ A
+            il, jl = np.tril_indices(k)
+            v = Ai[il, jl]
+            keep = v != 0.0
+            cons.append(np.full(keep.sum(), i + 1, np.int32))
+            rows.append(il[keep].astype(np.int32))
+            cols.append(jl[keep].astype(np.int32))
+            vals.append(v[keep])
+        data.blocks.append(
+            BlockEntries(
+                dim=k,
+                con=np.concatenate(cons),
+                row=np.concatenate(rows),
+                col=np.concatenate(cols),
+                val=np.concatenate(vals),
+            )
+        )
+        nnz += sum(len(v) for v in vals)
+
+    data.nnz = nnz
+    return data
+
+
 def maxcut_sdpa(n: int = 1000, seed: int = 0, degree: int = 6) -> SDPAData:
     """MaxCut SDP relaxation of a random graph (SDPLIB maxG* family:
     maxG51 is n = m = 1000).

@@ -186,3 +186,33 @@ def test_maxcut_class_end_to_end():
     r = HDSDPSolver(prob, verbose=False).optimize()
     assert r.status == "PRIMAL_DUAL_OPTIMAL"
     assert np.max(np.abs(r.dimacs)) < 1e-2
+
+
+def test_control_class_end_to_end_lyapunov_oracle():
+    """SDPLIB control-family structure: Lyapunov-operator coefficients
+    (rank <= 4, full support — the multi-slot path).  For a single
+    system the optimum is known in closed form: min tr(P) subject to
+    -(A'P + PA) >= I is attained at the Lyapunov solution P* of
+    A'P* + P*A = -I (any feasible P dominates P* by the integral
+    representation), so the solver is checked against an independent
+    oracle, not against itself."""
+    import scipy.linalg
+    from hdsdp_tpu.models.synthetic import control_sdpa
+    from hdsdp_tpu.solver.solver import HDSDPSolver
+
+    data = control_sdpa(k=10, n_sys=1, seed=7)
+    prob = SDPProblem.from_sdpa(data)
+
+    # reconstruct A from the generator's seed path for the oracle
+    rng = np.random.default_rng(7)
+    k = 10
+    G = rng.normal(size=(k, k)) / np.sqrt(k)
+    lam = 0.5 * np.linalg.norm(G + G.T, 2) + 0.5
+    A = G - lam * np.eye(k)
+    P_star = scipy.linalg.solve_lyapunov(A.T, -np.eye(k))
+    opt = -np.trace(P_star)  # solver maximizes b'y = -tr(P)
+
+    r = HDSDPSolver(prob, verbose=False).optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.d_obj == pytest.approx(opt, rel=1e-5)
+    assert np.max(np.abs(r.dimacs)) < 1e-2
