@@ -216,3 +216,21 @@ def test_control_class_end_to_end_lyapunov_oracle():
     assert r.status == "PRIMAL_DUAL_OPTIMAL"
     assert r.d_obj == pytest.approx(opt, rel=1e-5)
     assert np.max(np.abs(r.dimacs)) < 1e-2
+
+
+def test_control_multi_system_matches_reference_binary():
+    """control-family with two Lyapunov systems (no closed form): golden
+    objective from the reference binary run on the byte-identical
+    instance on this machine (write_sdpa -> sdpasolve):
+
+        control_sdpa(k=20, n_sys=2, seed=11)
+        -> Primal dual optimal, dObj -7.9439715116, DIMACS max 7.3e-10
+    """
+    from hdsdp_tpu.models.synthetic import control_sdpa
+    from hdsdp_tpu.solver.solver import HDSDPSolver
+
+    prob = SDPProblem.from_sdpa(control_sdpa(k=20, n_sys=2, seed=11))
+    r = HDSDPSolver(prob, verbose=False).optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.d_obj == pytest.approx(-7.9439715116, rel=1e-6)
+    assert np.max(np.abs(r.dimacs)) < 1e-2
