@@ -149,10 +149,9 @@ def _matmul_sliced(a_sl, b_sl, gmax):
 def _use_pallas():
     """Tile with Pallas on real TPU; the XLA scan path is the CPU/test
     fallback (same numerics, validated against float128)."""
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover - no devices during AOT tracing
-        return False
+    from hdsdp_tpu.utils.platform import is_tpu
+
+    return is_tpu()
 
 
 _TM = 256  # output tile rows

@@ -321,10 +321,9 @@ class DualIPM:
             return False
         if self.m < self.params.kkt_dd_threshold:
             return False
-        try:
-            return jax.devices()[0].platform == "tpu"
-        except Exception:  # pragma: no cover
-            return False
+        from hdsdp_tpu.utils.platform import is_tpu
+
+        return is_tpu()
 
     def _direct_factor(self, M) -> None:
         """Cholesky with a regularization ladder + LU fallback (the direct

@@ -1726,10 +1726,9 @@ def _use_mp(ipm) -> bool:
         return False
     if ipm.m < ipm.params.kkt_mp_threshold:
         return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from hdsdp_tpu.utils.platform import is_tpu
+
+    return is_tpu()
 
 
 def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
