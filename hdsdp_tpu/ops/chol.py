@@ -37,6 +37,27 @@ def psd_check(S: jnp.ndarray):
     return chol_ok(L), L
 
 
+def psd_factor(S: jnp.ndarray, use_dd: bool = False):
+    """(ok, L) with an optional DD (double-single MXU) backend.
+
+    ``use_dd`` routes single-block batches [1, n, n] through the blocked
+    double-single Cholesky (ops.ddchol) and converts the factor back to
+    f64 — same PSD-predicate semantics (a non-PD input NaNs the panel
+    sqrt exactly like dpotrf's info > 0), ~2^-45 accurate factor, at MXU
+    speed instead of XLA's emulated-f64 VPU Cholesky.  Multi-block
+    batches keep the XLA path (small blocks are latency-bound either
+    way, and ddchol is unbatched)."""
+    n = S.shape[-1]
+    if use_dd and S.ndim == 3 and S.shape[0] == 1 and n >= 512:
+        from hdsdp_tpu.ops import dd as dd_ops
+        from hdsdp_tpu.ops import ddchol
+
+        f = ddchol.factor(S[0])
+        L = dd_ops.to_f64(f.lh, f.ll)[:n, :n][None]
+        return ddchol.ok(f), L
+    return psd_check(S)
+
+
 def chol_logdet(L: jnp.ndarray) -> jnp.ndarray:
     """log det(S) = 2 sum log diag(L) (ref sdpDenseConeGetBarrier,
     hdsdp_conic_sdp.c:2279-2287), summed over the batch."""

@@ -94,6 +94,7 @@ class DualIPM:
             self.cones = ConeSystem(prob, obj_scal=self.obj_scal, dtype=self.dtype)
         self.cones.ratio_mode = params.ratio_test
         self.cones.lanczos_dim = params.lanczos_dim
+        self.cones.cone_dd = self._use_cone_dd(prob)
         self.b = jnp.asarray(prob.b * self.rhs_scal, self.dtype)
 
         # bound cone box (ref hdsdp.c:675-690)
@@ -235,6 +236,7 @@ class DualIPM:
         S, s_lp, L, sl, su, flags = _interior_check(
             self.cones.groups, self.cones.lp, tau, -1.0, y,
             -self.Rd + self.perturb, tau, self.bound_lo, self.bound_up,
+            dd=self.cones.cone_dd,
         )
         ok, bound_ok = (bool(v) for v in np.asarray(flags))
         if ok:
@@ -308,6 +310,24 @@ class DualIPM:
             mk = self.kkt.M.shape[0]
             M = self.kkt.M + reg * jnp.eye(mk, dtype=self.dtype)
             self.kkt = self.kkt._replace(M=M)
+
+    def _use_cone_dd(self, prob) -> bool:
+        """DD (MXU) backend for the cone-side S factorization / interior
+        checks: pays off where XLA's emulated-f64 Cholesky dominates the
+        iteration — real TPU, single large block (ref: every interior
+        check re-factors S, hdsdp_linsolver.c:1112-1144)."""
+        fp = self.params.cone_fp
+        if fp == "dd":
+            return True
+        if fp != "auto" or self.dtype != jnp.float64 or self.mesh is not None:
+            return False
+        if max(prob.block_dims, default=0) < self.params.cone_dd_threshold:
+            return False
+        if any(g.nblk != 1 for g in prob.groups):
+            return False
+        from hdsdp_tpu.utils.platform import is_tpu
+
+        return is_tpu()
 
     def _use_dd(self) -> bool:
         """DD (MXU double-single) arithmetic for the Schur factorization.

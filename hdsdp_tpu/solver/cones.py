@@ -57,12 +57,12 @@ def _assemble(groups, lp, dC, scal, y, dEye):
     return S, s_lp
 
 
-@jax.jit
-def _factor(S, s_lp):
+@partial(jax.jit, static_argnames=("dd",))
+def _factor(S, s_lp, dd: bool = False):
     Ls = []
     ok = jnp.asarray(True)
     for Sg in S:
-        good, L = chol_ops.psd_check(Sg)
+        good, L = chol_ops.psd_factor(Sg, use_dd=dd)
         Ls.append(L)
         ok = jnp.logical_and(ok, good)
     if s_lp is not None:
@@ -166,12 +166,12 @@ def _ratio_warm(L, s_lp, dS, ds_lp, warms, mode: str = "auto", krylov: int = 30)
     return step, tuple(new_warms)
 
 
-@jax.jit
-def _interior_check(groups, lp, dC, scal, y, dEye, tau, lo, up):
+@partial(jax.jit, static_argnames=("dd",))
+def _interior_check(groups, lp, dC, scal, y, dEye, tau, lo, up, dd: bool = False):
     """Fused assemble + factor + bound slacks: ONE dispatch, one packed
     flag read-back (the op-by-op path costs ~6 host round-trips)."""
     S, s_lp = _assemble(groups, lp, dC, scal, y, dEye)
-    ok, L = _factor(S, s_lp)
+    ok, L = _factor(S, s_lp, dd=dd)
     sl = y - tau * lo
     su = tau * up - y
     bok = jnp.logical_and(jnp.all(sl > 0), jnp.all(su > 0))
@@ -179,11 +179,11 @@ def _interior_check(groups, lp, dC, scal, y, dEye, tau, lo, up):
     return S, s_lp, L, sl, su, flags
 
 
-@jax.jit
-def _add_step_check(S, s_lp, dS, ds_lp, alpha):
+@partial(jax.jit, static_argnames=("dd",))
+def _add_step_check(S, s_lp, dS, ds_lp, alpha, dd: bool = False):
     S_new = tuple(Sg + alpha * dSg for Sg, dSg in zip(S, dS))
     s_new = s_lp + alpha * ds_lp if s_lp is not None else None
-    ok, Lnew = _factor(S_new, s_new)
+    ok, Lnew = _factor(S_new, s_new, dd=dd)
     return ok, S_new, s_new, Lnew
 
 
@@ -296,9 +296,13 @@ class ConeSystem:
         """B = dEye*I + scal*A'y + dC*C per cone."""
         return _assemble(self.groups, self.lp, dC, scal, y, dEye)
 
+    # DD (double-single MXU) backend for the S factorization: set by the
+    # solver from Params.cone_fp (off on CPU / small blocks).
+    cone_dd: bool = False
+
     # -- factorization / PSD check --------------------------------------
     def factor(self, S, s_lp):
-        return _factor(S, s_lp)
+        return _factor(S, s_lp, dd=self.cone_dd)
 
     # -- barrier ---------------------------------------------------------
     def logdet(self, L, s_lp):
@@ -332,7 +336,7 @@ class ConeSystem:
 
     # -- add step to buffer and check (ref sdpDenseConeAddStepToBufferAndCheck)
     def add_step_check(self, S, s_lp, dS, ds_lp, alpha):
-        return _add_step_check(S, s_lp, dS, ds_lp, alpha)
+        return _add_step_check(S, s_lp, dS, ds_lp, alpha, dd=self.cone_dd)
 
     # -- primal / misc helpers ---------------------------------------------
     def atx(self, X_list, x_lp):

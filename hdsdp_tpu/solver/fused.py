@@ -122,7 +122,7 @@ def factor(c: Cones, S, s_lp):
     Ls = []
     ok = jnp.asarray(True)
     for Sg in S:
-        good, L = chol_ops.psd_check(Sg)
+        good, L = chol_ops.psd_factor(Sg, use_dd=_CONE_CFG["dd"])
         Ls.append(L)
         ok = jnp.logical_and(ok, good)
     if c.lp is not None:
@@ -210,6 +210,11 @@ def build_kkt(c: Cones, L, s_lp, Rd, kind: str):
 # KKT factorization (ref default backend HDSDP_LINSYS_DENSE_ITERATIVE,
 # hdsdp_schur.c:19 + conjGradSolve hdsdp_linsolver.c:1446-1588).
 _KKT_CFG = {"mp": False}
+
+# Cone-side S-factorization backend for the fused bodies: "dd" routes
+# single large blocks through the double-single MXU Cholesky
+# (ops.chol.psd_factor).  Trace-time flag, part of the program cache key.
+_CONE_CFG = {"dd": False}
 
 
 def _factor_m_f64(M):
@@ -1691,7 +1696,10 @@ def _cache_key(ipm, phase, extra):
     )
     lp_shape = None if ipm.cones.lp is None else ipm.cones.lp.A.shape
     ratio = (_RATIO_CFG["mode"], _RATIO_CFG["krylov"])
-    return (phase, shapes, lp_shape, ipm.m, ratio, _KKT_CFG["mp"], extra)
+    return (
+        phase, shapes, lp_shape, ipm.m, ratio,
+        _KKT_CFG["mp"], _CONE_CFG["dd"], extra,
+    )
 
 
 def _drive_iterated(ipm, body_fn, st, max_iter: int, is_phase_b: bool):
@@ -1749,6 +1757,7 @@ def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
     _RATIO_CFG["mode"] = p.ratio_test
     _RATIO_CFG["krylov"] = p.lanczos_dim
     _KKT_CFG["mp"] = _use_mp(ipm)
+    _CONE_CFG["dd"] = bool(getattr(ipm.cones, "cone_dd", False))
 
     # ---- Phase A prologue (host, mirrors algo.phase_a before the loop)
     ipm.which_method = "infeas"

@@ -71,6 +71,13 @@ class Params:
     # latency floor wins).
     kkt_fp: str = "auto"
     kkt_dd_threshold: int = 768
+    # Arithmetic for the cone-side S factorization / interior checks:
+    # "dd" routes single-block groups through the double-single MXU
+    # Cholesky (ops.ddchol) with the factor converted back to f64;
+    # "auto" engages on real TPU for single-block problems whose block
+    # dim >= cone_dd_threshold; "off" keeps XLA's emulated-f64 path.
+    cone_fp: str = "auto"
+    cone_dd_threshold: int = 1024
     # Mixed-precision Schur solves inside the FUSED bodies: factor in
     # native f32 (Jacobi-equilibrated), solve by f64 iterative
     # refinement, probe-gated in-graph f64-ladder fallback (ref default

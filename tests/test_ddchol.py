@@ -93,3 +93,37 @@ def test_dd_kkt_backend_golden_mcp100():
     assert r.status == "PRIMAL_DUAL_OPTIMAL"
     assert r.d_obj == pytest.approx(-226.15735, rel=1e-4)
     assert np.max(np.abs(r.dimacs)) < 1e-2
+
+
+def test_psd_factor_dd_dispatch_matches_xla():
+    """ops.chol.psd_factor(use_dd=True) must match the XLA f64 factor on
+    a single large block and agree on the PSD predicate for a non-PD
+    input (the cone-side interior-check semantics)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hdsdp_tpu.ops import chol as chol_ops
+
+    rng = np.random.default_rng(3)
+    n = 512
+    G = rng.normal(size=(n, n))
+    S = jnp.asarray(G @ G.T + n * np.eye(n))[None]
+
+    ok_x, L_x = chol_ops.psd_check(S)
+    ok_d, L_d = chol_ops.psd_factor(S, use_dd=True)
+    assert bool(ok_x) and bool(ok_d)
+    np.testing.assert_allclose(
+        np.asarray(L_d), np.asarray(L_x), rtol=0, atol=1e-8 * n
+    )
+
+    S_bad = S - 2.0 * n * jnp.eye(n, dtype=S.dtype)[None]
+    ok_d2, _ = chol_ops.psd_factor(S_bad, use_dd=True)
+    ok_x2, _ = chol_ops.psd_check(S_bad)
+    assert not bool(ok_d2)
+    assert not bool(ok_x2)
+
+    # small blocks / multi-block batches stay on the XLA path
+    S_small = jnp.asarray(G[:64, :64] @ G[:64, :64].T + 64 * np.eye(64))[None]
+    ok_s, L_s = chol_ops.psd_factor(S_small, use_dd=True)
+    np.testing.assert_array_equal(
+        np.asarray(L_s), np.asarray(chol_ops.psd_check(S_small)[1])
+    )
