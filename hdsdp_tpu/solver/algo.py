@@ -381,18 +381,26 @@ class DualIPM:
     def _row_sharded(self) -> bool:
         return getattr(self.cones, "is_row_sharded", False)
 
-    def factor_kkt(self) -> None:
+    def factor_kkt(self, force_direct: bool = False) -> None:
         """Factor (or defer) the Schur system.  With kkt_solver="cg" the
         factorization is deferred: solves go through AdaptiveCG (ref
         conjGradSolve + ADPCG policy) and escalate to the direct ladder on
         CG failure.  On a row-sharded mesh the factorization is the
         distributed blocked Cholesky (parallel.dchol) or row-sharded CG:
-        M never materializes on one device."""
+        M never materializes on one device.
+
+        ``force_direct`` overrides the CG policy for factor-once /
+        solve-many uses (PSDP factors its X-weighted KKT once and then
+        performs ~100 solves against it, ref hdsdp_psdp.c:203-207 —
+        exact solves there decide the refinement step quality)."""
         self._factor_stats["n_factor"] += 1
         M = self.kkt.M
-        use_cg = self.params.kkt_solver == "cg" or (
-            self.params.kkt_solver == "auto"
-            and self.m >= self.params.kkt_cg_threshold
+        use_cg = not force_direct and (
+            self.params.kkt_solver == "cg"
+            or (
+                self.params.kkt_solver == "auto"
+                and self.m >= self.params.kkt_cg_threshold
+            )
         )
         if self._row_sharded():
             if use_cg:
@@ -1063,14 +1071,17 @@ class DualIPM:
 
                 refiner = PSDPRefiner(self)
                 refined = refiner.optimize()
-                if refined and refiner.converged:
+                if refined:
+                    # A clean PSDP return ends the solve even when not
+                    # converged to tolerance (ref hdsdp_algo.c:1806-1814:
+                    # retcode OK -> break; the nBadIter/compl-growth exits
+                    # return OK).  The DIMACS gate decides the final
+                    # status from the refined (X, y) pair — resuming
+                    # potential reduction here would move y while X stays
+                    # frozen and can drive comp through zero, passing the
+                    # comp test with a crude primal.
                     self.psdp = refiner
                     break
-                if refined:
-                    # partial refinement (ref hdsdp_algo.c:1804-1815): keep
-                    # the refined primal iterate but resume potential
-                    # reduction with PSDP disabled
-                    self.psdp = refiner
                 use_psdp = 0
 
             if self.n_small_step > 3:

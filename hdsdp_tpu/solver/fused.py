@@ -1843,15 +1843,21 @@ def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
 
             refiner = PSDPRefiner(ipm)
             refined = refiner.optimize()
-            if refined and refiner.converged:
-                ipm.psdp = refiner
-                ipm.status = algo.PRIMAL_DUAL_OPTIMAL
-                return ipm.status
             if refined:
-                # partial refinement (ref hdsdp_algo.c:1804-1815): keep the
-                # refined primal iterate for solution extraction but resume
-                # potential reduction with PSDP disabled
+                # A clean PSDP return ends the solve even when not
+                # converged (ref hdsdp_algo.c:1806-1814: retcode OK ->
+                # break); the DIMACS gate decides the final status from
+                # the refined (X, y).  Resuming potential reduction
+                # would move y while X stays frozen and can drive comp
+                # through zero, passing the comp test with a crude
+                # primal.
                 ipm.psdp = refiner
+                ipm.status = (
+                    algo.PRIMAL_DUAL_OPTIMAL
+                    if refiner.converged
+                    else algo.UNKNOWN  # DIMACS gate decides (hdsdp.c:905)
+                )
+                return ipm.status
             psdp_eligible = False
             continue
 

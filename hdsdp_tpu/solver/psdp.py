@@ -133,7 +133,9 @@ class PSDPRefiner:
                 csinv=None, csinvcsinv=None, csinvrdsinv=None,
                 trace_sinv=None,
             )
-            ipm.factor_kkt()
+            # factor-once / solve-many: bypass the CG policy (ref
+            # HKKTFactorize once, hdsdp_psdp.c:203-207)
+            ipm.factor_kkt(force_direct=not ipm._row_sharded())
 
         factor_primal_kkt()
 
