@@ -37,3 +37,26 @@ def test_mcp100_matches_reference_closely(examples_dir):
     assert r.n_iters <= 50
     assert abs(r.gap) < 1e-4
     assert r.d_obj == pytest.approx(-226.15735148, rel=1e-7)
+
+
+def test_batch_min_eval_fast_path_matches_exact():
+    """The large-block min-eigenvalue fast path (f32 eigh + f64 Rayleigh
+    refinement) must agree with exact f64 eigh far below the DIMACS gate,
+    including indefinite and near-singular spectra."""
+    import jax.numpy as jnp
+
+    from hdsdp_tpu.solver import dimacs
+
+    n = dimacs._EXACT_EIG_DIM + 16  # forces the fast path
+    rng = np.random.default_rng(11)
+    for spec in (
+        np.linspace(1e-9, 5.0, n),          # PSD, clustered bottom
+        np.linspace(-3e-3, 4.0, n),         # indefinite at gate scale
+        np.r_[np.full(8, 1e-7), np.linspace(0.5, 2.0, n - 8)],  # bottom cluster
+    ):
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        X = jnp.asarray((Q * spec) @ Q.T, jnp.float64)[None]
+        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+        fast = float(dimacs._batch_min_eval(X))
+        exact = float(jnp.min(jnp.linalg.eigvalsh(X)))
+        assert fast == pytest.approx(exact, abs=1e-6 * max(1.0, abs(spec).max()))
