@@ -31,7 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 
 from hdsdp_tpu.models.problem import SDPProblem
-from hdsdp_tpu.models.synthetic import maxcut_sdpa, theta_sdpa
+from hdsdp_tpu.models.synthetic import maxcut_sdpa, theta_sdpa, torus_sdpa
 from hdsdp_tpu.solver.solver import HDSDPSolver
 
 # SDPLIB-published sizes (Borchers 1999): name -> generator args
@@ -44,6 +44,9 @@ CONFIGS = {
     "maxG11": ("maxcut", dict(n=800)),
     "maxG51": ("maxcut", dict(n=1000)),
     "maxG55": ("maxcut", dict(n=5000)),
+    "toruspm3-8-50": ("torus", dict(side=8)),
+    "torusg3-15": ("torus", dict(side=15, pm=False)),
+    "toruspm3-22": ("torus", dict(side=22)),  # m = 10648 >= 10k
 }
 
 
@@ -56,7 +59,8 @@ def main():
         overrides[k] = json.loads(v)
 
     t0 = time.time()
-    data = theta_sdpa(**kw) if fam == "theta" else maxcut_sdpa(**kw)
+    gen = {"theta": theta_sdpa, "maxcut": maxcut_sdpa, "torus": torus_sdpa}[fam]
+    data = gen(**kw)
     prob = SDPProblem.from_sdpa(data)
     t_pre = time.time() - t0
     print(f"[{name}] m={prob.m} n={max(prob.block_dims)} presolve {t_pre:.1f}s",

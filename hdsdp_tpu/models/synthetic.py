@@ -308,7 +308,42 @@ def maxcut_sdpa(n: int = 1000, seed: int = 0, degree: int = 6) -> SDPAData:
     iu, ju = np.triu_indices(n, 1)
     ei, ej = iu[flat], ju[flat]
     w = rng.choice([-1.0, 1.0], size=n_edges)
+    return _maxcut_from_edges(n, ei, ej, w)
 
+
+def torus_sdpa(side: int = 8, pm: bool = True, seed: int = 0) -> SDPAData:
+    """MaxCut SDP of a 3-D periodic lattice (SDPLIB torus* family:
+    toruspm3-8-50 is side=8 / n=512 with +-1 weights; torusg3-15 is
+    side=15 / n=3375 with Gaussian weights).  Each vertex couples to its
+    +x/+y/+z neighbors with wraparound, so the graph is 6-regular and
+    m = n = side^3 — the same rank-1 diagonal-constraint structure as
+    maxG*, at the lattice sizes that reach m >= 10k (side >= 22).
+    """
+    if side < 3:
+        raise ValueError("torus_sdpa needs side >= 3 (wraparound edges collide)")
+    n = side * side * side
+    idx = np.arange(n, dtype=np.int64)
+    x, rem = divmod(idx, side * side)
+    y, z = divmod(rem, side)
+
+    def flat(a, b, c):
+        return (a % side) * side * side + (b % side) * side + (c % side)
+
+    ei = np.concatenate([idx, idx, idx])
+    ej = np.concatenate([flat(x + 1, y, z), flat(x, y + 1, z), flat(x, y, z + 1)])
+    rng = np.random.default_rng(seed)
+    w = (
+        rng.choice([-1.0, 1.0], size=3 * n)
+        if pm
+        else rng.standard_normal(3 * n)
+    )
+    lo, hi = np.minimum(ei, ej), np.maximum(ei, ej)
+    return _maxcut_from_edges(n, lo.astype(np.int64), hi.astype(np.int64), w)
+
+
+def _maxcut_from_edges(n: int, ei, ej, w) -> SDPAData:
+    """Shared maxcut builder: C = -Laplacian/4, constraints diag(X)=1/4."""
+    n_edges = len(w)
     # C = -(diag(W e) - W) / 4  (negated Laplacian / 4, min form)
     deg = np.zeros(n)
     np.add.at(deg, ei, w)

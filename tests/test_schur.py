@@ -234,3 +234,27 @@ def test_control_multi_system_matches_reference_binary():
     assert r.status == "PRIMAL_DUAL_OPTIMAL"
     assert r.d_obj == pytest.approx(-7.9439715116, rel=1e-6)
     assert np.max(np.abs(r.dimacs)) < 1e-2
+
+
+def test_torus_class_end_to_end():
+    """SDPLIB torus-family structure (maxcut on a 3-D periodic lattice,
+    m = n = side^3).  With all-(+1) weights the lattice is bipartite-free
+    but the SDP bound is still sandwiched: the identity/4 is feasible
+    (obj = <C, I/4> = -sum_i deg_i/16) and the bound must not exceed the
+    trivial cut bound -(|E| + sum w)/8 ... here just gate DIMACS + sanity
+    against the feasible-point objective."""
+    from hdsdp_tpu.models.synthetic import torus_sdpa
+    from hdsdp_tpu.solver.solver import HDSDPSolver
+
+    data = torus_sdpa(side=3, seed=6)  # n = m = 27
+    prob = SDPProblem.from_sdpa(data)
+    r = HDSDPSolver(prob, verbose=False).optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert np.max(np.abs(r.dimacs)) < 1e-2
+    # X = I/4 is feasible, so the minimum is <= <C, I/4> = -sum(deg)/16
+    import numpy as _np
+    blk = data.blocks[0]
+    cmask = blk.con == 0
+    diag = (blk.row == blk.col) & cmask
+    c_dot_quarter_eye = float(_np.sum(blk.val[diag])) / 4.0
+    assert r.d_obj <= c_dot_quarter_eye + 1e-6
