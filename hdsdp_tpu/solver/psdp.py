@@ -121,6 +121,16 @@ class PSDPRefiner:
         Xscal = [Xg for Xg in X]
         ipm.log.info("HDSDP nearly converges. Primal refinement starts.")
 
+        def fail(reason: str) -> bool:
+            # ref HPSDPIRecover + "Primal method fails. Switch back to
+            # dual method." (hdsdp_psdp.c:449-455)
+            ipm.log.info(
+                f"Primal method fails ({reason}). Switch back to dual method."
+            )
+            ipm.y = y_backup
+            ipm.check_is_interior(1.0, ipm.y)
+            return False
+
         def factor_primal_kkt():
             from hdsdp_tpu.solver.cones import KKTOut
 
@@ -168,9 +178,7 @@ class PSDPRefiner:
             # dispatch (Lanczos at size, exact eigh for small blocks)
             okX, p_step_dev = _primal_ratio(tuple(X), tuple(dX))
             if not bool(okX):
-                ipm.y = y_backup
-                ipm.check_is_interior(1.0, ipm.y)
-                return False
+                return fail("X not PSD at ratio test")
             p_step = float(p_step_dev)
 
             p_step = min(0.5 * p_step, 1.0)
@@ -181,25 +189,19 @@ class PSDPRefiner:
             X = [Xg + p_step * dXg for Xg, dXg in zip(X, dX)]
 
             if not ipm.check_is_interior(1.0, y_new):
-                ipm.y = y_backup
-                ipm.check_is_interior(1.0, ipm.y)
-                return False
+                return fail("dual step leaves the cone")
             ipm.y = y_new
 
             ok_all, compl_dev = _post_step(tuple(X), tuple(ipm.S))
             if not bool(ok_all):
-                ipm.y = y_backup
-                ipm.check_is_interior(1.0, ipm.y)
-                return False
+                return fail("stepped X not PSD")
 
             # objective + barrier update (ref :352-383)
             d_obj = float(b @ ipm.y)
             p_obj = float(ipm.cones.ctx(X, None))
             compl = float(compl_dev)
             if p_obj < d_obj:
-                ipm.y = y_backup
-                ipm.check_is_interior(1.0, ipm.y)
-                return False
+                return fail("pObj crossed below dObj")
 
             target = (p_obj - d_obj) / (2.0 * sum_dims)
             if mu < 1e-09:
@@ -247,9 +249,7 @@ class PSDPRefiner:
             if compl > 10.0 * comp_prev:
                 break
             if ipm.p_infeas > 1e-06:
-                ipm.y = y_backup
-                ipm.check_is_interior(1.0, ipm.y)
-                return False
+                return fail(f"primal infeasibility {ipm.p_infeas:.1e}")
             comp_prev = compl
 
         self.X = X
