@@ -125,14 +125,27 @@ def _dense_congruence(ga: GroupArrays, U: jnp.ndarray):
     return jnp.einsum("ipq,iqr,irs->ips", Ub, ga.Ad, Ub, optimize=True), Ub
 
 
-def _slot_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> SchurOut:
+def _slot_schur(
+    ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool, hp: bool = False
+) -> SchurOut:
     """Slot-major Schur contribution (g == 1): r(r+1)/2 [m,n]x[n,m]
-    matmuls indexed directly by constraint — the large-m path."""
+    matmuls indexed directly by constraint — the large-m path.
+
+    ``hp`` routes the two large matmul families (FU = Fs @ U and the
+    pair products Fs_j U Fs_k^T) through the Ozaki-sliced bf16 MXU
+    matmul (ops.hpmm, ~2^-45 relative) instead of emulated f64
+    (~0.5 Tflop/s on TPU vs ~100 Tflop/s bf16).  Everything else —
+    Hadamard squares, scalings, the small dense bucket — stays f64."""
     r, m_, n = ga.Fs.shape
     U0 = U[0]
     md = ga.Ad.shape[0]
 
-    FU = jnp.einsum("jan,nm->jam", ga.Fs, U0, optimize=True)  # [r,m,n]
+    if hp:
+        from . import hpmm
+
+        FU = hpmm.hpmm(ga.Fs.reshape(r * m_, n), U0).reshape(r, m_, n)
+    else:
+        FU = jnp.einsum("jan,nm->jam", ga.Fs, U0, optimize=True)  # [r,m,n]
     asinv = jnp.sum(ga.lams * jnp.sum(FU * ga.Fs, axis=-1), axis=0)
     trsas = jnp.sum(ga.lams * jnp.sum(FU * FU, axis=-1), axis=0)
     trU = jnp.trace(U0)
@@ -145,10 +158,16 @@ def _slot_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> SchurO
         trsas = trsas.at[ga.didx].add(jnp.trace(B, axis1=-2, axis2=-1))
 
     if with_m:
+        from . import hpmm
+
         M = jnp.zeros((m, m), U.dtype)
         for j in range(r):
             for k in range(j, r):
-                T = FU[j] @ ga.Fs[k].T  # [m, m]
+                T = (
+                    hpmm.hpmm(FU[j], ga.Fs[k].T)
+                    if hp
+                    else FU[j] @ ga.Fs[k].T
+                )  # [m, m]
                 T = (ga.lams[j][:, None] * ga.lams[k][None, :]) * (T * T)
                 M = M + T + T.T if k > j else M + T
 
@@ -170,11 +189,17 @@ def _slot_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> SchurO
     return SchurOut(M=M, asinv=asinv, trSAS=trsas, trU=trU)
 
 
-def group_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool = True) -> SchurOut:
-    """Schur contribution of one group given U = S^-1 [g,n,n]."""
+def group_schur(
+    ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool = True,
+    hp: bool = False,
+) -> SchurOut:
+    """Schur contribution of one group given U = S^-1 [g,n,n].
+
+    ``hp`` (slot-major groups only) runs the large matmuls on the bf16
+    MXU via ops.hpmm — see _slot_schur."""
 
     if ga.Fs is not None:
-        return _slot_schur(ga, U, m, with_m)
+        return _slot_schur(ga, U, m, with_m, hp=hp)
 
     g, R, n = ga.F.shape
     md = ga.Ad.shape[0]

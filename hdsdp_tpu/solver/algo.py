@@ -95,6 +95,7 @@ class DualIPM:
         self.cones.ratio_mode = params.ratio_test
         self.cones.lanczos_dim = params.lanczos_dim
         self.cones.cone_dd = self._use_cone_dd(prob)
+        self.cones.kkt_hp = self._use_kkt_hp()
         self.b = jnp.asarray(prob.b * self.rhs_scal, self.dtype)
 
         # bound cone box (ref hdsdp.c:675-690)
@@ -324,6 +325,21 @@ class DualIPM:
         if max(prob.block_dims, default=0) < self.params.cone_dd_threshold:
             return False
         if any(g.nblk != 1 for g in prob.groups):
+            return False
+        from hdsdp_tpu.utils.platform import is_tpu
+
+        return is_tpu()
+
+    def _use_kkt_hp(self) -> bool:
+        """bf16-MXU (Ozaki-sliced) Schur assembly: pays off where the
+        emulated-f64 pair matmuls dominate assembly — real TPU, large m
+        (slot-major groups only; flat groups ignore the flag)."""
+        hp = self.params.kkt_hp
+        if hp == "on":
+            return True
+        if hp != "auto" or self.dtype != jnp.float64 or self.mesh is not None:
+            return False
+        if self.m < self.params.kkt_hp_threshold:
             return False
         from hdsdp_tpu.utils.platform import is_tpu
 

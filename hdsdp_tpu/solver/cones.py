@@ -80,8 +80,8 @@ def _logdet(L, s_lp):
     return val
 
 
-@partial(jax.jit, static_argnames=("m", "kind"))
-def _build_kkt(groups, lp, L, s_lp, Rd, m: int, kind: str) -> KKTOut:
+@partial(jax.jit, static_argnames=("m", "kind", "hp"))
+def _build_kkt(groups, lp, L, s_lp, Rd, m: int, kind: str, hp: bool = False) -> KKTOut:
     dtype = L[0].dtype if L else s_lp.dtype
     with_m = kind != "corr"
     M = jnp.zeros((m, m), dtype) if with_m else None
@@ -95,7 +95,7 @@ def _build_kkt(groups, lp, L, s_lp, Rd, m: int, kind: str) -> KKTOut:
 
     for ga, Lg in zip(groups, L):
         U = chol_ops.chol_inverse(Lg)
-        out = schur_ops.group_schur(ga, U, m, with_m=with_m)
+        out = schur_ops.group_schur(ga, U, m, with_m=with_m, hp=hp)
         if with_m:
             M = M + out.M
         asinv = asinv + out.asinv
@@ -299,6 +299,9 @@ class ConeSystem:
     # DD (double-single MXU) backend for the S factorization: set by the
     # solver from Params.cone_fp (off on CPU / small blocks).
     cone_dd: bool = False
+    # bf16-MXU (Ozaki-sliced) Schur assembly for slot-major groups; set
+    # by the solver from Params.kkt_hp (off on CPU / small m).
+    kkt_hp: bool = False
 
     # -- factorization / PSD check --------------------------------------
     def factor(self, S, s_lp):
@@ -311,7 +314,9 @@ class ConeSystem:
     # -- KKT build --------------------------------------------------------
     def build_kkt(self, L, s_lp, Rd, kind: str) -> KKTOut:
         """kind in {"inf", "hsd", "corr"} ~ KKT_TYPE_* (ref hdsdp_conic.h:16-19)."""
-        return _build_kkt(self.groups, self.lp, L, s_lp, Rd, self.m, kind)
+        return _build_kkt(
+            self.groups, self.lp, L, s_lp, Rd, self.m, kind, hp=self.kkt_hp
+        )
 
     # -- ratio test --------------------------------------------------------
     ratio_mode: str = "auto"

@@ -172,7 +172,7 @@ def build_kkt(c: Cones, L, s_lp, Rd, kind: str):
 
     for ga, Lg in zip(c.groups, L):
         U = chol_ops.chol_inverse(Lg)
-        out = schur_ops.group_schur(ga, U, m, with_m=with_m)
+        out = schur_ops.group_schur(ga, U, m, with_m=with_m, hp=_KKT_CFG["hp"])
         if with_m:
             M = M + out.M
         asinv = asinv + out.asinv
@@ -209,7 +209,7 @@ def build_kkt(c: Cones, L, s_lp, Rd, kind: str):
 # On TPU this replaces the ~50x-slower emulated-f64 Cholesky for every
 # KKT factorization (ref default backend HDSDP_LINSYS_DENSE_ITERATIVE,
 # hdsdp_schur.c:19 + conjGradSolve hdsdp_linsolver.c:1446-1588).
-_KKT_CFG = {"mp": False}
+_KKT_CFG = {"mp": False, "hp": False}
 
 # Cone-side S-factorization backend for the fused bodies: "dd" routes
 # single large blocks through the double-single MXU Cholesky
@@ -1698,7 +1698,7 @@ def _cache_key(ipm, phase, extra):
     ratio = (_RATIO_CFG["mode"], _RATIO_CFG["krylov"])
     return (
         phase, shapes, lp_shape, ipm.m, ratio,
-        _KKT_CFG["mp"], _CONE_CFG["dd"], extra,
+        _KKT_CFG["mp"], _KKT_CFG["hp"], _CONE_CFG["dd"], extra,
     )
 
 
@@ -1757,6 +1757,7 @@ def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
     _RATIO_CFG["mode"] = p.ratio_test
     _RATIO_CFG["krylov"] = p.lanczos_dim
     _KKT_CFG["mp"] = _use_mp(ipm)
+    _KKT_CFG["hp"] = bool(getattr(ipm.cones, "kkt_hp", False))
     _CONE_CFG["dd"] = bool(getattr(ipm.cones, "cone_dd", False))
 
     # ---- Phase A prologue (host, mirrors algo.phase_a before the loop)

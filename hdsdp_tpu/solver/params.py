@@ -85,6 +85,13 @@ class Params:
     # at m >= kkt_mp_threshold; "on"/"off" force.
     kkt_mp: str = "auto"
     kkt_mp_threshold: int = 768
+    # High-precision MXU Schur ASSEMBLY (slot-major groups): route the
+    # FU = Fs@U and pairwise Fs_j U Fs_k^T matmuls through the
+    # Ozaki-sliced bf16 MXU kernel (ops.hpmm, ~2^-45 relative) instead
+    # of emulated f64.  "auto" engages on real TPU at m >=
+    # kkt_hp_threshold; "on"/"off" force.
+    kkt_hp: str = "auto"
+    kkt_hp_threshold: int = 2048
 
 
 def adjust_params(params: Params, f: Features) -> Params:

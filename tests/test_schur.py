@@ -258,3 +258,45 @@ def test_torus_class_end_to_end():
     diag = (blk.row == blk.col) & cmask
     c_dot_quarter_eye = float(_np.sum(blk.val[diag])) / 4.0
     assert r.d_obj <= c_dot_quarter_eye + 1e-6
+
+
+def test_slot_schur_hp_matches_f64():
+    """bf16-MXU (Ozaki-sliced) assembly must agree with the f64 einsum
+    path to double-single accuracy on a slot-major group (the same
+    cross-validation discipline as HUtilKKTCheck)."""
+    import jax.numpy as jnp
+    from hdsdp_tpu.models.synthetic import theta_sdpa
+    from hdsdp_tpu.ops import schur as schur_ops
+    from hdsdp_tpu.solver.cones import ConeSystem
+
+    data = theta_sdpa(n=40, n_edges=120, seed=3)
+    prob = SDPProblem.from_sdpa(data)
+    cones = ConeSystem(prob)
+    ga = cones.groups[0]
+    assert ga.Fs is not None  # slot-major layout
+
+    rng = np.random.default_rng(0)
+    n = ga.Fs.shape[2]
+    Q = rng.standard_normal((n, n))
+    U = jnp.asarray(Q @ Q.T + n * np.eye(n), jnp.float64)[None]
+
+    o64 = schur_ops.group_schur(ga, U, prob.m, with_m=True, hp=False)
+    ohp = schur_ops.group_schur(ga, U, prob.m, with_m=True, hp=True)
+    scale = float(jnp.max(jnp.abs(o64.M)))
+    assert float(jnp.max(jnp.abs(ohp.M - o64.M))) < 1e-10 * scale
+    assert np.allclose(np.asarray(ohp.asinv), np.asarray(o64.asinv),
+                       rtol=1e-10, atol=1e-10 * scale)
+
+
+def test_kkt_hp_end_to_end():
+    """Forced hp assembly must reproduce the default solve."""
+    from hdsdp_tpu.models.synthetic import theta_sdpa
+    from hdsdp_tpu.solver.solver import HDSDPSolver
+
+    data = theta_sdpa(n=50, n_edges=300, seed=4)
+    prob = SDPProblem.from_sdpa(data)
+    r0 = HDSDPSolver(prob, verbose=False, fused=False).optimize()
+    r1 = HDSDPSolver(prob, verbose=False, fused=False, kkt_hp="on").optimize()
+    assert r1.status == r0.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r1.d_obj == pytest.approx(r0.d_obj, rel=1e-7)
+    assert np.max(np.abs(r1.dimacs)) < 1e-2
