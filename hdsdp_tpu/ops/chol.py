@@ -65,9 +65,17 @@ def chol_logdet(L: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * jnp.sum(jnp.log(d))
 
 
-def chol_inverse(L: jnp.ndarray) -> jnp.ndarray:
-    """S^{-1} from the Cholesky factor (ref HFpLinsysInvert -> dpotri)."""
+def chol_inverse(L: jnp.ndarray, use_dd: bool = False) -> jnp.ndarray:
+    """S^{-1} from the Cholesky factor (ref HFpLinsysInvert -> dpotri).
+
+    ``use_dd`` routes single large blocks through the DD (MXU) blocked
+    inverse built from the existing f64 factor — the emulated-f64
+    trisolve-on-identity is the dominant per-build cost at n >= ~2048."""
     n = L.shape[-1]
+    if use_dd and L.ndim == 3 and L.shape[0] == 1 and n >= 512:
+        from hdsdp_tpu.ops import ddchol
+
+        return ddchol.spd_inverse_from_f64_tri(L[0])[None]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
     Linv = solve_triangular(L, eye, lower=True)
     return jnp.einsum("...ki,...kj->...ij", Linv, Linv)

@@ -286,6 +286,45 @@ def spd_inverse(f: DDFactor, n: int):
     return dd.to_f64(ch, cl)[:n, :n]
 
 
+def factor_from_f64_tri(L, block=256) -> DDFactor:
+    """Wrap an EXISTING f64 lower-triangular factor as a DDFactor.
+
+    The panel diagonal-block inverses (the W arrays) are computed by
+    small batched f64 trisolves — O(n B^2) flops, negligible — so the
+    MXU strip kernels (tri_inverse / spd_inverse / solve) can run
+    against a factor that was produced elsewhere (e.g. the f64 L the
+    cone system already carries)."""
+    import jax.scipy.linalg as jsl
+
+    n = L.shape[0]
+    Lp = _pad_spd(L, block)
+    npad = Lp.shape[0]
+    npan = npad // block
+    lh, ll = dd.from_f64(Lp)
+    ks = jnp.arange(npan)
+    blocks = jax.vmap(
+        lambda k: jax.lax.dynamic_slice(
+            Lp, (k * block, k * block), (block, block)
+        )
+    )(ks)
+    eye = jnp.eye(block, dtype=L.dtype)
+    W = jax.vmap(lambda B_: jsl.solve_triangular(B_, eye, lower=True))(blocks)
+    wh, wl = dd.from_f64(W)
+    return DDFactor(lh, ll, wh, wl)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def spd_inverse_from_f64_tri(L, block=256):
+    """A^{-1} = L^{-T} L^{-1} from an f64 lower factor, MXU strips.
+
+    Replaces the emulated-f64 trisolve-on-identity + einsum
+    (ops.chol.chol_inverse ~ dpotri, ref hdsdp_linsolver.c:1238-1260)
+    with the DD blocked inverse — the per-iteration U = S^-1 of the KKT
+    build at large single blocks."""
+    f = factor_from_f64_tri(L, block=block)
+    return spd_inverse(f, L.shape[0])
+
+
 def chol_f64(a, block=256):
     """Convenience: f64 lower Cholesky factor via the DD path."""
     f = factor(a, block=block)

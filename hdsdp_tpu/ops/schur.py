@@ -74,6 +74,15 @@ class GroupArrays(NamedTuple):
     # placeholders when set
     Fs: Optional[jnp.ndarray] = None  # [r, m, n]
     lams: Optional[jnp.ndarray] = None  # [r, m]
+    # DIAGONAL specialization of the slot-major layout (requires r == 1
+    # and every factor a scaled standard-basis vector, i.e. every
+    # low-rank coefficient A_i = w_i e_{p_i} e_{p_i}^T — the maxG*/
+    # torus* structure).  Then M_ij = w_i w_j (U_{p_i p_j})^2, a pure
+    # gather + Hadamard square: O(m^2) instead of O(n m^2) — the TPU
+    # analogue of the reference's rank-one M2 kernel shortcut
+    # (ref hdsdp_conic_sdp.c:687-778, kkt2quadform on 1-nnz vectors).
+    dpos: Optional[jnp.ndarray] = None  # [m] int32 diagonal position
+    dw: Optional[jnp.ndarray] = None  # [m] weight w_i (0 if no slot)
 
 
 class SchurOut(NamedTuple):
@@ -90,17 +99,43 @@ class HSDOut(NamedTuple):
     trUCU: jnp.ndarray  # []  tr(S^-1 C S^-1) (caller multiplies by Rd)
 
 
-def group_dual(ga: GroupArrays, dC, scal, y, dEye) -> jnp.ndarray:
+def group_dual(ga: GroupArrays, dC, scal, y, dEye, hp: bool = False) -> jnp.ndarray:
     """Buffer assembly B = dEye*I + scal*(A'y) + dC*C, batched [g,n,n].
 
     Mirrors sdpDenseConeIUpdateBuffer (ref hdsdp_conic_sdp.c:343-402); the
     per-cone perturbation is folded into dEye by the caller.
-    """
-    if ga.Fs is not None:
+
+    ``hp`` (slot-major groups only) computes the O(r m n^2) contraction
+    W = sum_ja w_ja u_ja u_ja^T as one [n, rm] x [rm, n] bf16-MXU matmul
+    (ops.hpmm, ~2^-45 relative) instead of emulated f64 — the dominant
+    assembly cost once r*m*n^2 reaches ~1e11 flops (theta12/torus-22
+    scale).  The result is symmetrized; the ~3e-14*||W|| error sits 1-2
+    orders below the endgame PSD-check margins (min-eig(S)/||S|| ~ mu),
+    and a misclassified boundary point falls into the existing
+    non-interior recovery ladder, matching the reference's own failure
+    handling."""
+    if ga.dpos is not None:
+        n = ga.Fs.shape[2]
+        g = 1
+        dvec = jax.ops.segment_sum(ga.dw * y, ga.dpos, num_segments=n)
+        W = jnp.zeros((n, n), dvec.dtype).at[
+            jnp.arange(n), jnp.arange(n)
+        ].set(dvec)[None]
+    elif ga.Fs is not None:
         r, m_, n = ga.Fs.shape
         g = 1
         w = ga.lams * y[None, :]  # [r, m]
-        W = jnp.einsum("jan,ja,jam->nm", ga.Fs, w, ga.Fs, optimize=True)[None]
+        if hp:
+            from . import hpmm
+
+            wF = (w[:, :, None] * ga.Fs).reshape(r * m_, n)
+            Ff = ga.Fs.reshape(r * m_, n)
+            Wm = hpmm.hpmm(wF.T, Ff)
+            W = (0.5 * (Wm + Wm.T))[None]
+        else:
+            W = jnp.einsum(
+                "jan,ja,jam->nm", ga.Fs, w, ga.Fs, optimize=True
+            )[None]
     else:
         g, R, n = ga.F.shape
         w = ga.lam * y[ga.seg]  # [g, R]
@@ -189,6 +224,48 @@ def _slot_schur(
     return SchurOut(M=M, asinv=asinv, trSAS=trsas, trU=trU)
 
 
+def _diag_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> SchurOut:
+    """Diagonal rank-1 bucket: A_i = w_i e_{p_i} e_{p_i}^T, so
+
+        M_ij    = w_i w_j (U_{p_i p_j})^2          (gather + square)
+        asinv_i = w_i U_{p_i p_i}
+        trsas_i = w_i (U U)_{p_i p_i} = w_i ||U[:, p_i]||^2
+
+    O(m^2 + n^2) per build vs the generic slot path's O(n m^2) — the
+    maxG*/torus* family shortcut (≙ ref M2 rank-one quadforms on 1-nnz
+    eigenvectors, hdsdp_conic_sdp.c:687-778)."""
+    U0 = U[0]
+    p = ga.dpos
+    w = ga.dw
+    md = ga.Ad.shape[0]
+
+    asinv = w * U0[p, p]
+    rno = jnp.sum(U0 * U0, axis=0)  # diag(U @ U), U symmetric
+    trsas = w * rno[p]
+    trU = jnp.trace(U0)
+
+    M = None
+    B = None
+    if md:
+        B, Ub = _dense_congruence(ga, U)
+        asinv = asinv.at[ga.didx].add(jnp.sum(ga.Ad * Ub, axis=(-1, -2)))
+        trsas = trsas.at[ga.didx].add(jnp.trace(B, axis1=-2, axis2=-1))
+
+    if with_m:
+        Usub = U0[p][:, p]
+        M = (w[:, None] * w[None, :]) * (Usub * Usub)
+        if md:
+            Mdd = jnp.einsum("ipq,jpq->ij", B, ga.Ad, optimize=True)
+            Ed = jax.nn.one_hot(ga.didx, m, dtype=U.dtype)  # [md, m]
+            M = M + Ed.T @ (Mdd @ Ed)
+            # dense x diag cross: w_i B_d[p_i, p_i]
+            Xc = w[None, :] * jnp.diagonal(B, axis1=-2, axis2=-1)[:, p]
+            Mx = Ed.T @ Xc
+            M = M + Mx + Mx.T
+
+    return SchurOut(M=M, asinv=asinv, trSAS=trsas, trU=trU)
+
+
 def group_schur(
     ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool = True,
     hp: bool = False,
@@ -196,8 +273,11 @@ def group_schur(
     """Schur contribution of one group given U = S^-1 [g,n,n].
 
     ``hp`` (slot-major groups only) runs the large matmuls on the bf16
-    MXU via ops.hpmm — see _slot_schur."""
+    MXU via ops.hpmm — see _slot_schur.  Diagonal rank-1 groups take
+    the O(m^2) gather path regardless of ``hp``."""
 
+    if ga.dpos is not None:
+        return _diag_schur(ga, U, m, with_m)
     if ga.Fs is not None:
         return _slot_schur(ga, U, m, with_m, hp=hp)
 
@@ -268,7 +348,9 @@ def group_hsd(ga: GroupArrays, U: jnp.ndarray, m: int) -> HSDOut:
     csinvcsinv = jnp.sum(ga.C * T)
     trUCU = jnp.trace(T, axis1=-2, axis2=-1).sum()
 
-    if ga.Fs is not None:
+    if ga.dpos is not None:
+        asinvcsinv = ga.dw * jnp.diagonal(T[0])[ga.dpos]
+    elif ga.Fs is not None:
         FT = jnp.einsum("jan,nm->jam", ga.Fs, T[0], optimize=True)
         asinvcsinv = jnp.sum(ga.lams * jnp.sum(FT * ga.Fs, axis=-1), axis=0)
     else:
@@ -286,7 +368,9 @@ def group_hsd(ga: GroupArrays, U: jnp.ndarray, m: int) -> HSDOut:
 
 def group_atx(ga: GroupArrays, X: jnp.ndarray, m: int) -> jnp.ndarray:
     """A(X): per-constraint traces <A_i, X_blk> given X [g,n,n]."""
-    if ga.Fs is not None:
+    if ga.dpos is not None:
+        out = ga.dw * jnp.diagonal(X[0])[ga.dpos]
+    elif ga.Fs is not None:
         FX = jnp.einsum("jan,nm->jam", ga.Fs, X[0], optimize=True)
         out = jnp.sum(ga.lams * jnp.sum(FX * ga.Fs, axis=-1), axis=0)
     else:

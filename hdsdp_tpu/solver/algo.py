@@ -96,6 +96,7 @@ class DualIPM:
         self.cones.lanczos_dim = params.lanczos_dim
         self.cones.cone_dd = self._use_cone_dd(prob)
         self.cones.kkt_hp = self._use_kkt_hp()
+        self.cones.dual_hp = self._use_dual_hp()
         self.b = jnp.asarray(prob.b * self.rhs_scal, self.dtype)
 
         # bound cone box (ref hdsdp.c:675-690)
@@ -238,6 +239,7 @@ class DualIPM:
             self.cones.groups, self.cones.lp, tau, -1.0, y,
             -self.Rd + self.perturb, tau, self.bound_lo, self.bound_up,
             dd=self.cones.cone_dd,
+            hp=getattr(self.cones, "dual_hp", False),
         )
         ok, bound_ok = (bool(v) for v in np.asarray(flags))
         if ok:
@@ -344,6 +346,19 @@ class DualIPM:
         from hdsdp_tpu.utils.platform import is_tpu
 
         return is_tpu()
+
+    def _use_dual_hp(self) -> bool:
+        """bf16-MXU dual-slack assembly: only when the O(r m n^2)
+        contraction is itself a dominant cost (theta12/torus-22 scale);
+        see ops.schur.group_dual for the accuracy argument."""
+        if not getattr(self.cones, "kkt_hp", False):
+            return False
+        work = 0.0
+        for ga in self.cones.groups:
+            if ga.Fs is not None:
+                r, m_, n = ga.Fs.shape
+                work += 2.0 * r * m_ * n * n
+        return work >= 1e11
 
     def _use_dd(self) -> bool:
         """DD (MXU double-single) arithmetic for the Schur factorization.

@@ -50,9 +50,11 @@ class KKTOut(NamedTuple):
 # ----------------------------------------------------------------------
 
 
-@jax.jit
-def _assemble(groups, lp, dC, scal, y, dEye):
-    S = tuple(schur_ops.group_dual(ga, dC, scal, y, dEye) for ga in groups)
+@partial(jax.jit, static_argnames=("hp",))
+def _assemble(groups, lp, dC, scal, y, dEye, hp: bool = False):
+    S = tuple(
+        schur_ops.group_dual(ga, dC, scal, y, dEye, hp=hp) for ga in groups
+    )
     s_lp = schur_ops.lp_dual(lp, dC, scal, y, dEye) if lp is not None else None
     return S, s_lp
 
@@ -94,7 +96,7 @@ def _build_kkt(groups, lp, L, s_lp, Rd, m: int, kind: str, hp: bool = False) -> 
     csinvrdsinv = jnp.zeros((), dtype)
 
     for ga, Lg in zip(groups, L):
-        U = chol_ops.chol_inverse(Lg)
+        U = chol_ops.chol_inverse(Lg, use_dd=hp)
         out = schur_ops.group_schur(ga, U, m, with_m=with_m, hp=hp)
         if with_m:
             M = M + out.M
@@ -166,11 +168,12 @@ def _ratio_warm(L, s_lp, dS, ds_lp, warms, mode: str = "auto", krylov: int = 30)
     return step, tuple(new_warms)
 
 
-@partial(jax.jit, static_argnames=("dd",))
-def _interior_check(groups, lp, dC, scal, y, dEye, tau, lo, up, dd: bool = False):
+@partial(jax.jit, static_argnames=("dd", "hp"))
+def _interior_check(groups, lp, dC, scal, y, dEye, tau, lo, up,
+                    dd: bool = False, hp: bool = False):
     """Fused assemble + factor + bound slacks: ONE dispatch, one packed
     flag read-back (the op-by-op path costs ~6 host round-trips)."""
-    S, s_lp = _assemble(groups, lp, dC, scal, y, dEye)
+    S, s_lp = _assemble(groups, lp, dC, scal, y, dEye, hp=hp)
     ok, L = _factor(S, s_lp, dd=dd)
     sl = y - tau * lo
     su = tau * up - y
@@ -244,7 +247,25 @@ class ConeSystem:
                 fill[i] = j + 1
                 Fs[j, i] = F0[idx]
                 lams[j, i] = lam0[idx]
-            return jnp.asarray(Fs, dtype), jnp.asarray(lams, dtype)
+
+            # DIAGONAL specialization (maxG*/torus* structure): r == 1
+            # and every factor a scaled standard-basis vector makes
+            # every coefficient A_i = w_i e_{p_i} e_{p_i}^T, so the
+            # Schur build collapses to an O(m^2) gather (see
+            # ops.schur._diag_schur; ≙ ref M2 rank-one quadforms on
+            # 1-nnz eigenvectors, hdsdp_conic_sdp.c:687-778).
+            dpos = dw = None
+            if r == 1 and np.all(np.count_nonzero(Fs[0], axis=1) <= 1):
+                p = np.argmax(np.abs(Fs[0]), axis=1)
+                v = Fs[0][np.arange(m), p]
+                dpos = jnp.asarray(p, jnp.int32)
+                dw = jnp.asarray(lams[0] * v * v, dtype)
+            return (
+                jnp.asarray(Fs, dtype),
+                jnp.asarray(lams, dtype),
+                dpos,
+                dw,
+            )
 
         def _make_group(g):
             kw = dict(
@@ -254,7 +275,7 @@ class ConeSystem:
                 dblk=jnp.asarray(g.dblk, jnp.int32),
             )
             if g.nblk == 1 and layout == "auto":
-                Fs, lams = _slot_major(g)
+                Fs, lams, dpos, dw = _slot_major(g)
                 return GroupArrays(
                     F=jnp.zeros((1, 1, g.dim), dtype),
                     lam=jnp.zeros((1, 1), dtype),
@@ -262,6 +283,8 @@ class ConeSystem:
                     pos=None,
                     Fs=Fs,
                     lams=lams,
+                    dpos=dpos,
+                    dw=dw,
                     **kw,
                 )
             return GroupArrays(
@@ -294,7 +317,9 @@ class ConeSystem:
     # -- buffer assembly ------------------------------------------------
     def assemble(self, dC, scal, y, dEye):
         """B = dEye*I + scal*A'y + dC*C per cone."""
-        return _assemble(self.groups, self.lp, dC, scal, y, dEye)
+        return _assemble(
+            self.groups, self.lp, dC, scal, y, dEye, hp=self.dual_hp
+        )
 
     # DD (double-single MXU) backend for the S factorization: set by the
     # solver from Params.cone_fp (off on CPU / small blocks).
@@ -302,6 +327,10 @@ class ConeSystem:
     # bf16-MXU (Ozaki-sliced) Schur assembly for slot-major groups; set
     # by the solver from Params.kkt_hp (off on CPU / small m).
     kkt_hp: bool = False
+    # bf16-MXU dual-slack assembly (S = A'y contraction), engaged only
+    # when r*m*n^2 makes the f64 einsum the dominant cost (Params.kkt_hp
+    # auto at theta12/torus-22 scale).
+    dual_hp: bool = False
 
     # -- factorization / PSD check --------------------------------------
     def factor(self, S, s_lp):

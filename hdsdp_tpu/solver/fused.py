@@ -113,7 +113,10 @@ class State(NamedTuple):
 
 
 def assemble(c: Cones, dC, scal, y, dEye):
-    S = tuple(schur_ops.group_dual(ga, dC, scal, y, dEye) for ga in c.groups)
+    S = tuple(
+        schur_ops.group_dual(ga, dC, scal, y, dEye, hp=_KKT_CFG["dhp"])
+        for ga in c.groups
+    )
     s_lp = schur_ops.lp_dual(c.lp, dC, scal, y, dEye) if c.lp is not None else None
     return S, s_lp
 
@@ -171,7 +174,7 @@ def build_kkt(c: Cones, L, s_lp, Rd, kind: str):
     csinvrdsinv = jnp.zeros((), dtype)
 
     for ga, Lg in zip(c.groups, L):
-        U = chol_ops.chol_inverse(Lg)
+        U = chol_ops.chol_inverse(Lg, use_dd=_KKT_CFG["hp"])
         out = schur_ops.group_schur(ga, U, m, with_m=with_m, hp=_KKT_CFG["hp"])
         if with_m:
             M = M + out.M
@@ -209,7 +212,7 @@ def build_kkt(c: Cones, L, s_lp, Rd, kind: str):
 # On TPU this replaces the ~50x-slower emulated-f64 Cholesky for every
 # KKT factorization (ref default backend HDSDP_LINSYS_DENSE_ITERATIVE,
 # hdsdp_schur.c:19 + conjGradSolve hdsdp_linsolver.c:1446-1588).
-_KKT_CFG = {"mp": False, "hp": False}
+_KKT_CFG = {"mp": False, "hp": False, "dhp": False}
 
 # Cone-side S-factorization backend for the fused bodies: "dd" routes
 # single large blocks through the double-single MXU Cholesky
@@ -1698,7 +1701,8 @@ def _cache_key(ipm, phase, extra):
     ratio = (_RATIO_CFG["mode"], _RATIO_CFG["krylov"])
     return (
         phase, shapes, lp_shape, ipm.m, ratio,
-        _KKT_CFG["mp"], _KKT_CFG["hp"], _CONE_CFG["dd"], extra,
+        _KKT_CFG["mp"], _KKT_CFG["hp"], _KKT_CFG["dhp"], _CONE_CFG["dd"],
+        extra,
     )
 
 
@@ -1758,6 +1762,7 @@ def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
     _RATIO_CFG["krylov"] = p.lanczos_dim
     _KKT_CFG["mp"] = _use_mp(ipm)
     _KKT_CFG["hp"] = bool(getattr(ipm.cones, "kkt_hp", False))
+    _KKT_CFG["dhp"] = bool(getattr(ipm.cones, "dual_hp", False))
     _CONE_CFG["dd"] = bool(getattr(ipm.cones, "cone_dd", False))
 
     # ---- Phase A prologue (host, mirrors algo.phase_a before the loop)

@@ -127,3 +127,20 @@ def test_psd_factor_dd_dispatch_matches_xla():
     np.testing.assert_array_equal(
         np.asarray(L_s), np.asarray(chol_ops.psd_check(S_small)[1])
     )
+
+
+def test_spd_inverse_from_f64_tri_matches_dpotri():
+    """The DD blocked inverse built from an EXISTING f64 factor must
+    match the f64 trisolve-on-identity inverse (~dpotri)."""
+    import jax.numpy as jnp
+    from hdsdp_tpu.ops import ddchol
+
+    rng = np.random.default_rng(3)
+    n = 600  # forces padding (not a block multiple)
+    A = rng.standard_normal((n, n))
+    A = jnp.asarray(A @ A.T + n * np.eye(n), jnp.float64)
+    L = jnp.linalg.cholesky(A)
+    U_dd = ddchol.spd_inverse_from_f64_tri(L)
+    U_64 = jnp.linalg.inv(A)
+    err = float(jnp.max(jnp.abs(U_dd - U_64)))
+    assert err < 1e-11 * float(jnp.max(jnp.abs(U_64)))

@@ -300,3 +300,83 @@ def test_kkt_hp_end_to_end():
     assert r1.status == r0.status == "PRIMAL_DUAL_OPTIMAL"
     assert r1.d_obj == pytest.approx(r0.d_obj, rel=1e-7)
     assert np.max(np.abs(r1.dimacs)) < 1e-2
+
+
+def test_group_dual_hp_matches_f64():
+    """bf16-MXU dual-slack assembly must agree with the f64 einsum and
+    preserve an end-to-end solve when forced at small scale."""
+    import jax.numpy as jnp
+    from hdsdp_tpu.models.synthetic import theta_sdpa
+    from hdsdp_tpu.ops import schur as schur_ops
+    from hdsdp_tpu.solver.cones import ConeSystem
+    from hdsdp_tpu.solver.solver import HDSDPSolver
+
+    data = theta_sdpa(n=40, n_edges=120, seed=3)
+    prob = SDPProblem.from_sdpa(data)
+    cones = ConeSystem(prob)
+    ga = cones.groups[0]
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.standard_normal(prob.m))
+    S0 = schur_ops.group_dual(ga, -1.0, -1.0, y, 2.0, hp=False)
+    S1 = schur_ops.group_dual(ga, -1.0, -1.0, y, 2.0, hp=True)
+    scale = float(jnp.max(jnp.abs(S0)))
+    assert float(jnp.max(jnp.abs(S1 - S0))) < 1e-10 * scale
+
+    # end-to-end with the dual-hp assembly forced on (host loop)
+    solver = HDSDPSolver(prob, verbose=False, fused=False, kkt_hp="on")
+    solver_ref = HDSDPSolver(prob, verbose=False, fused=False)
+    # force dual_hp despite the small work size
+    import hdsdp_tpu.solver.algo as algo_mod
+    ipm = algo_mod.DualIPM(prob, solver.params)
+    ipm.cones.kkt_hp = True
+    ipm.cones.dual_hp = True
+    ipm.solve()
+    r_ref = solver_ref.optimize()
+    assert ipm.status == "PRIMAL_DUAL_OPTIMAL" == r_ref.status
+    assert float(ipm.d_obj_val) == pytest.approx(r_ref.d_obj, rel=1e-7)
+
+
+def test_diag_bucket_matches_slot_path():
+    """The O(m^2) diagonal rank-1 bucket (maxG*/torus* structure) must
+    reproduce the generic slot-major path exactly (HUtilKKTCheck
+    discipline) for M, RHS vectors, dual assembly, HSD components, and
+    A(X)."""
+    import jax.numpy as jnp
+    from hdsdp_tpu.models.synthetic import maxcut_sdpa
+    from hdsdp_tpu.ops import schur as schur_ops
+    from hdsdp_tpu.solver.cones import ConeSystem
+
+    prob = SDPProblem.from_sdpa(maxcut_sdpa(n=60, seed=7))
+    cones = ConeSystem(prob)
+    ga = cones.groups[0]
+    assert ga.dpos is not None  # the diag bucket must engage on maxcut
+    ga_slot = ga._replace(dpos=None, dw=None)
+
+    rng = np.random.default_rng(2)
+    n = ga.Fs.shape[2]
+    Q = rng.standard_normal((n, n))
+    U = jnp.asarray(Q @ Q.T + n * np.eye(n), jnp.float64)[None]
+    y = jnp.asarray(rng.standard_normal(prob.m))
+
+    a = schur_ops.group_schur(ga, U, prob.m, with_m=True)
+    b = schur_ops.group_schur(ga_slot, U, prob.m, with_m=True)
+    scale = float(jnp.max(jnp.abs(b.M)))
+    assert float(jnp.max(jnp.abs(a.M - b.M))) < 1e-12 * scale
+    np.testing.assert_allclose(np.asarray(a.asinv), np.asarray(b.asinv),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.trSAS), np.asarray(b.trSAS),
+                               rtol=1e-12)
+
+    Sa = schur_ops.group_dual(ga, -1.0, -1.0, y, 2.0)
+    Sb = schur_ops.group_dual(ga_slot, -1.0, -1.0, y, 2.0)
+    np.testing.assert_allclose(np.asarray(Sa), np.asarray(Sb),
+                               rtol=1e-12, atol=1e-12)
+
+    ha = schur_ops.group_hsd(ga, U, prob.m)
+    hb = schur_ops.group_hsd(ga_slot, U, prob.m)
+    np.testing.assert_allclose(np.asarray(ha.asinvcsinv),
+                               np.asarray(hb.asinvcsinv), rtol=1e-12)
+
+    xa = schur_ops.group_atx(ga, U, prob.m)
+    xb = schur_ops.group_atx(ga_slot, U, prob.m)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=1e-12)
