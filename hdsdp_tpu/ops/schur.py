@@ -83,6 +83,16 @@ class GroupArrays(NamedTuple):
     # (ref hdsdp_conic_sdp.c:687-778, kkt2quadform on 1-nnz vectors).
     dpos: Optional[jnp.ndarray] = None  # [m] int32 diagonal position
     dw: Optional[jnp.ndarray] = None  # [m] weight w_i (0 if no slot)
+    # BOUNDED-SUPPORT specialization of the slot-major layout: every
+    # slot eigenvector has <= c nonzeros (the theta family has rank-2
+    # coefficients with 2-nnz eigenvectors).  spos/sval hold the padded
+    # positions/entries; the pair products Fs_j U Fs_k^T then become c^2
+    # gathered m x m Hadamard combinations of U — O(m^2) memory-bound
+    # instead of O(n m^2) matmuls (the TPU analogue of the reference's
+    # sparse rank-one / pairwise M5 kernels,
+    # ref linalg/hdsdp_sdpdata.c:1711-1963).
+    spos: Optional[jnp.ndarray] = None  # [r, m, c] int32
+    sval: Optional[jnp.ndarray] = None  # [r, m, c]
 
 
 class SchurOut(NamedTuple):
@@ -121,6 +131,20 @@ def group_dual(ga: GroupArrays, dC, scal, y, dEye, hp: bool = False) -> jnp.ndar
         W = jnp.zeros((n, n), dvec.dtype).at[
             jnp.arange(n), jnp.arange(n)
         ].set(dvec)[None]
+    elif ga.spos is not None:
+        # scatter the r*m*c^2 weighted outer-product entries (a few
+        # hundred k elements even at theta12 scale)
+        n = ga.Fs.shape[2]
+        g = 1
+        P, V = ga.spos, ga.sval
+        wy = ga.lams * y[None, :]  # [r, m]
+        vals = (
+            wy[:, :, None, None] * V[:, :, :, None] * V[:, :, None, :]
+        ).reshape(-1)
+        flat = (P[:, :, :, None] * n + P[:, :, None, :]).reshape(-1)
+        W = jax.ops.segment_sum(vals, flat, num_segments=n * n).reshape(
+            n, n
+        )[None]
     elif ga.Fs is not None:
         r, m_, n = ga.Fs.shape
         g = 1
@@ -266,6 +290,65 @@ def _diag_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> SchurO
     return SchurOut(M=M, asinv=asinv, trSAS=trsas, trU=trU)
 
 
+def _support_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> SchurOut:
+    """Bounded-support slot bucket: every eigenvector has <= c nonzeros,
+    so every pair product (Fs_j U Fs_k^T)_{i1 i2} = sum_{a,b}
+    v_{j,i1,a} v_{k,i2,b} U[p_{j,i1,a}, p_{k,i2,b}] — c^2 gathered m x m
+    Hadamard terms per slot pair, no [m,n]x[n,m] matmul (≙ ref sparse
+    pairwise M5 kernels, hdsdp_sdpdata.c:1711-1963).  Needs one n^3
+    matmul (U @ U) for the trSAS row regardless of m."""
+    U0 = U[0]
+    P = ga.spos  # [r, m, c]
+    V = ga.sval
+    r, m_, c = P.shape
+    md = ga.Ad.shape[0]
+    w = ga.lams  # [r, m]
+
+    # [r, m, c, c] gathers of U at each slot's support
+    Usup = U0[P[:, :, :, None], P[:, :, None, :]]
+    quad = jnp.einsum("jiab,jia,jib->ji", Usup, V, V)  # v' U v per slot
+    asinv = jnp.sum(w * quad, axis=0)
+    U2 = U0 @ U0
+    U2sup = U2[P[:, :, :, None], P[:, :, None, :]]
+    quad2 = jnp.einsum("jiab,jia,jib->ji", U2sup, V, V)  # ||U v||^2
+    trsas = jnp.sum(w * quad2, axis=0)
+    trU = jnp.trace(U0)
+
+    M = None
+    B = None
+    if md:
+        B, Ub = _dense_congruence(ga, U)
+        asinv = asinv.at[ga.didx].add(jnp.sum(ga.Ad * Ub, axis=(-1, -2)))
+        trsas = trsas.at[ga.didx].add(jnp.trace(B, axis1=-2, axis2=-1))
+
+    if with_m:
+        M = jnp.zeros((m, m), U.dtype)
+        for j in range(r):
+            for k in range(j, r):
+                T = jnp.zeros((m_, m_), U.dtype)
+                for a in range(c):
+                    G = U0[P[j, :, a]]  # [m, n]
+                    for b in range(c):
+                        T = T + (
+                            V[j, :, a, None] * V[k, None, :, b]
+                        ) * G[:, P[k, :, b]]
+                T = (w[j][:, None] * w[k][None, :]) * (T * T)
+                M = M + T + T.T if k > j else M + T
+        if md:
+            Mdd = jnp.einsum("ipq,jpq->ij", B, ga.Ad, optimize=True)
+            Ed = jax.nn.one_hot(ga.didx, m, dtype=U.dtype)  # [md, m]
+            M = M + Ed.T @ (Mdd @ Ed)
+            # dense x support cross: w_ji v' B_d v at each support
+            Bsup = B[:, P[:, :, :, None], P[:, :, None, :]]  # [md,r,m,c,c]
+            Xc = jnp.einsum(
+                "djiab,jia,jib,ji->di", Bsup, V, V, w, optimize=True
+            )
+            Mx = Ed.T @ Xc
+            M = M + Mx + Mx.T
+
+    return SchurOut(M=M, asinv=asinv, trSAS=trsas, trU=trU)
+
+
 def group_schur(
     ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool = True,
     hp: bool = False,
@@ -278,6 +361,8 @@ def group_schur(
 
     if ga.dpos is not None:
         return _diag_schur(ga, U, m, with_m)
+    if ga.spos is not None:
+        return _support_schur(ga, U, m, with_m)
     if ga.Fs is not None:
         return _slot_schur(ga, U, m, with_m, hp=hp)
 
@@ -350,6 +435,12 @@ def group_hsd(ga: GroupArrays, U: jnp.ndarray, m: int) -> HSDOut:
 
     if ga.dpos is not None:
         asinvcsinv = ga.dw * jnp.diagonal(T[0])[ga.dpos]
+    elif ga.spos is not None:
+        P, V = ga.spos, ga.sval
+        Tsup = T[0][P[:, :, :, None], P[:, :, None, :]]
+        asinvcsinv = jnp.sum(
+            ga.lams * jnp.einsum("jiab,jia,jib->ji", Tsup, V, V), axis=0
+        )
     elif ga.Fs is not None:
         FT = jnp.einsum("jan,nm->jam", ga.Fs, T[0], optimize=True)
         asinvcsinv = jnp.sum(ga.lams * jnp.sum(FT * ga.Fs, axis=-1), axis=0)
@@ -370,6 +461,12 @@ def group_atx(ga: GroupArrays, X: jnp.ndarray, m: int) -> jnp.ndarray:
     """A(X): per-constraint traces <A_i, X_blk> given X [g,n,n]."""
     if ga.dpos is not None:
         out = ga.dw * jnp.diagonal(X[0])[ga.dpos]
+    elif ga.spos is not None:
+        P, V = ga.spos, ga.sval
+        Xsup = X[0][P[:, :, :, None], P[:, :, None, :]]
+        out = jnp.sum(
+            ga.lams * jnp.einsum("jiab,jia,jib->ji", Xsup, V, V), axis=0
+        )
     elif ga.Fs is not None:
         FX = jnp.einsum("jan,nm->jam", ga.Fs, X[0], optimize=True)
         out = jnp.sum(ga.lams * jnp.sum(FX * ga.Fs, axis=-1), axis=0)

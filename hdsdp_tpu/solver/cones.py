@@ -255,16 +255,34 @@ class ConeSystem:
             # ops.schur._diag_schur; ≙ ref M2 rank-one quadforms on
             # 1-nnz eigenvectors, hdsdp_conic_sdp.c:687-778).
             dpos = dw = None
-            if r == 1 and np.all(np.count_nonzero(Fs[0], axis=1) <= 1):
+            spos = sval = None
+            nnz_rows = np.count_nonzero(Fs, axis=2)  # [r, m]
+            if r == 1 and np.all(nnz_rows[0] <= 1):
                 p = np.argmax(np.abs(Fs[0]), axis=1)
                 v = Fs[0][np.arange(m), p]
                 dpos = jnp.asarray(p, jnp.int32)
                 dw = jnp.asarray(lams[0] * v * v, dtype)
+            elif nnz_rows.max(initial=0) <= 4:
+                # bounded-support layout (see GroupArrays.spos): the
+                # theta family's rank-2 coefficients have 2-nnz
+                # eigenvectors — assembly becomes m^2 gathers
+                c = max(int(nnz_rows.max(initial=1)), 1)
+                spos_np = np.zeros((r, m, c), np.int32)
+                sval_np = np.zeros((r, m, c))
+                for j in range(r):
+                    for i in np.nonzero(nnz_rows[j])[0]:
+                        idx = np.nonzero(Fs[j, i])[0]
+                        spos_np[j, i, : len(idx)] = idx
+                        sval_np[j, i, : len(idx)] = Fs[j, i, idx]
+                spos = jnp.asarray(spos_np)
+                sval = jnp.asarray(sval_np, dtype)
             return (
                 jnp.asarray(Fs, dtype),
                 jnp.asarray(lams, dtype),
                 dpos,
                 dw,
+                spos,
+                sval,
             )
 
         def _make_group(g):
@@ -275,7 +293,7 @@ class ConeSystem:
                 dblk=jnp.asarray(g.dblk, jnp.int32),
             )
             if g.nblk == 1 and layout == "auto":
-                Fs, lams, dpos, dw = _slot_major(g)
+                Fs, lams, dpos, dw, spos, sval = _slot_major(g)
                 return GroupArrays(
                     F=jnp.zeros((1, 1, g.dim), dtype),
                     lam=jnp.zeros((1, 1), dtype),
@@ -285,6 +303,8 @@ class ConeSystem:
                     lams=lams,
                     dpos=dpos,
                     dw=dw,
+                    spos=spos,
+                    sval=sval,
                     **kw,
                 )
             return GroupArrays(

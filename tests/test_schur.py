@@ -272,7 +272,9 @@ def test_slot_schur_hp_matches_f64():
     data = theta_sdpa(n=40, n_edges=120, seed=3)
     prob = SDPProblem.from_sdpa(data)
     cones = ConeSystem(prob)
-    ga = cones.groups[0]
+    # strip the bounded-support shortcut so the hp matmul path is the
+    # one under test
+    ga = cones.groups[0]._replace(spos=None, sval=None)
     assert ga.Fs is not None  # slot-major layout
 
     rng = np.random.default_rng(0)
@@ -314,7 +316,7 @@ def test_group_dual_hp_matches_f64():
     data = theta_sdpa(n=40, n_edges=120, seed=3)
     prob = SDPProblem.from_sdpa(data)
     cones = ConeSystem(prob)
-    ga = cones.groups[0]
+    ga = cones.groups[0]._replace(spos=None, sval=None)  # force hp path
     rng = np.random.default_rng(5)
     y = jnp.asarray(rng.standard_normal(prob.m))
     S0 = schur_ops.group_dual(ga, -1.0, -1.0, y, 2.0, hp=False)
@@ -380,3 +382,45 @@ def test_diag_bucket_matches_slot_path():
     xa = schur_ops.group_atx(ga, U, prob.m)
     xb = schur_ops.group_atx(ga_slot, U, prob.m)
     np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=1e-12)
+
+
+def test_support_bucket_matches_slot_path():
+    """The bounded-support gather bucket (theta-family 2-nnz rank-2
+    structure) must reproduce the generic slot-major path for M, RHS,
+    dual assembly, HSD components, and A(X)."""
+    import jax.numpy as jnp
+    from hdsdp_tpu.models.synthetic import theta_sdpa
+    from hdsdp_tpu.ops import schur as schur_ops
+    from hdsdp_tpu.solver.cones import ConeSystem
+
+    prob = SDPProblem.from_sdpa(theta_sdpa(n=40, n_edges=120, seed=3))
+    cones = ConeSystem(prob)
+    ga = cones.groups[0]
+    assert ga.spos is not None  # support bucket must engage on theta
+    ga_slot = ga._replace(spos=None, sval=None)
+
+    rng = np.random.default_rng(2)
+    n = ga.Fs.shape[2]
+    Q = rng.standard_normal((n, n))
+    U = jnp.asarray(Q @ Q.T + n * np.eye(n), jnp.float64)[None]
+    y = jnp.asarray(rng.standard_normal(prob.m))
+
+    a = schur_ops.group_schur(ga, U, prob.m, with_m=True)
+    b = schur_ops.group_schur(ga_slot, U, prob.m, with_m=True)
+    scale = float(jnp.max(jnp.abs(b.M)))
+    assert float(jnp.max(jnp.abs(a.M - b.M))) < 1e-12 * scale
+    np.testing.assert_allclose(np.asarray(a.asinv), np.asarray(b.asinv), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(a.trSAS), np.asarray(b.trSAS), rtol=1e-11)
+
+    Sa = schur_ops.group_dual(ga, -1.0, -1.0, y, 2.0)
+    Sb = schur_ops.group_dual(ga_slot, -1.0, -1.0, y, 2.0)
+    np.testing.assert_allclose(np.asarray(Sa), np.asarray(Sb), rtol=1e-11, atol=1e-12)
+
+    ha = schur_ops.group_hsd(ga, U, prob.m)
+    hb = schur_ops.group_hsd(ga_slot, U, prob.m)
+    np.testing.assert_allclose(np.asarray(ha.asinvcsinv),
+                               np.asarray(hb.asinvcsinv), rtol=1e-11)
+
+    xa = schur_ops.group_atx(ga, U, prob.m)
+    xb = schur_ops.group_atx(ga_slot, U, prob.m)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=1e-11)
