@@ -355,7 +355,9 @@ class DualIPM:
             return False
         work = 0.0
         for ga in self.cones.groups:
-            if ga.Fs is not None:
+            # diag/support groups assemble by gather/scatter; only the
+            # generic slot-major path runs the O(r m n^2) contraction
+            if ga.Fs is not None and ga.dpos is None and ga.spos is None:
                 r, m_, n = ga.Fs.shape
                 work += 2.0 * r * m_ * n * n
         return work >= 1e11
