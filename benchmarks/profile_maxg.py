@@ -15,6 +15,8 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
@@ -33,14 +35,14 @@ def main():
 
     prob = SDPProblem.from_sdpa(maxcut_sdpa(n=n))
     fused = False if mode == "host" else mode
-    params = Params(verbose=False, fused=fused, profile=(mode == "host"))
+    kw = dict(verbose=False, fused=fused, profile=(mode == "host"))
 
-    s = HDSDPSolver(prob, params=params)
+    s = HDSDPSolver(prob, **kw)
     t0 = time.time()
     r = s.optimize()
     cold = time.time() - t0
 
-    s2 = HDSDPSolver(prob, params=params)
+    s2 = HDSDPSolver(prob, **kw)
     t0 = time.time()
     r = s2.optimize()
     warm = time.time() - t0
