@@ -31,7 +31,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 
 from hdsdp_tpu.models.problem import SDPProblem
-from hdsdp_tpu.models.synthetic import maxcut_sdpa, theta_sdpa, torus_sdpa
+from hdsdp_tpu.models.synthetic import (
+    gpp_sdpa, maxcut_sdpa, theta_sdpa, torus_sdpa,
+)
 from hdsdp_tpu.solver.solver import HDSDPSolver
 
 # SDPLIB-published sizes (Borchers 1999): name -> generator args
@@ -47,6 +49,9 @@ CONFIGS = {
     "toruspm3-8-50": ("torus", dict(side=8)),
     "torusg3-15": ("torus", dict(side=15, pm=False)),
     "toruspm3-22": ("torus", dict(side=22)),  # m = 10648 >= 10k
+    "gpp500": ("gpp", dict(n=500)),
+    "equalG11": ("gpp", dict(n=801)),
+    "equalG51": ("gpp", dict(n=1001)),
 }
 
 
@@ -59,7 +64,8 @@ def main():
         overrides[k] = json.loads(v)
 
     t0 = time.time()
-    gen = {"theta": theta_sdpa, "maxcut": maxcut_sdpa, "torus": torus_sdpa}[fam]
+    gen = {"theta": theta_sdpa, "maxcut": maxcut_sdpa, "torus": torus_sdpa,
+           "gpp": gpp_sdpa}[fam]
     data = gen(**kw)
     prob = SDPProblem.from_sdpa(data)
     t_pre = time.time() - t0

@@ -377,3 +377,58 @@ def _maxcut_from_edges(n: int, ei, ej, w) -> SDPAData:
     )
     data.nnz = sum(len(v) for v in vals)
     return data
+
+
+def gpp_sdpa(n: int = 500, seed: int = 0, degree: int = 10) -> SDPAData:
+    """Graph-partitioning SDP (SDPLIB gpp*/equalG* families: gpp100 is
+    n=100/m=101, gpp500-x is n=500, equalG11 is n=801).
+
+        min <C, X>  s.t.  <ee', X> = 0,  diag(X) = 1,  X >= 0 (psd)
+
+    with C = -Laplacian/4 exactly as the bundled gpp100.dat-s fixture
+    (constraint 1 = dense rank-1 all-ones with b=0; constraints
+    2..n+1 = e_i e_i' with b=1 — ref examples/gpp100.dat-s).  Exercises
+    the diagonal rank-1 bucket WITH a dense-classified leftover
+    coefficient (the all-ones row), i.e. the mixed diag+dense cross
+    terms in ops.schur._diag_schur."""
+    rng = np.random.default_rng(seed)
+    n_edges = min(n * degree // 2, n * (n - 1) // 2)
+    flat = rng.choice(n * (n - 1) // 2, size=n_edges, replace=False)
+    iu, ju = np.triu_indices(n, 1)
+    ei, ej = iu[flat], ju[flat]
+    w = np.ones(n_edges)
+
+    deg = np.zeros(n)
+    np.add.at(deg, ei, w)
+    np.add.at(deg, ej, w)
+
+    d = np.arange(n, dtype=np.int32)
+    cons, rows, cols, vals = [], [], [], []
+    # objective C = -(diag(W e) - W)/4: diag -deg/4, off-diag +w/4
+    cons.append(np.zeros(n, np.int32)); rows.append(d); cols.append(d)
+    vals.append(-deg / 4.0)
+    cons.append(np.zeros(n_edges, np.int32))
+    rows.append(ej.astype(np.int32)); cols.append(ei.astype(np.int32))
+    vals.append(w / 4.0)
+    # constraint 1: all-ones lower triangle (rank-1 e e'), b = 0
+    il, jl = np.tril_indices(n)
+    cons.append(np.ones(il.size, np.int32))
+    rows.append(il.astype(np.int32)); cols.append(jl.astype(np.int32))
+    vals.append(np.ones(il.size))
+    # constraints 2..n+1: diag(X) = 1
+    cons.append(np.arange(2, n + 2, dtype=np.int32))
+    rows.append(d); cols.append(d); vals.append(np.ones(n))
+
+    b = np.concatenate([[0.0], np.ones(n)])
+    data = SDPAData(m=n + 1, block_dims=[n], b=b)
+    data.blocks.append(
+        BlockEntries(
+            dim=n,
+            con=np.concatenate(cons),
+            row=np.concatenate(rows),
+            col=np.concatenate(cols),
+            val=np.concatenate(vals),
+        )
+    )
+    data.nnz = sum(len(v) for v in vals)
+    return data

@@ -424,3 +424,22 @@ def test_support_bucket_matches_slot_path():
     xa = schur_ops.group_atx(ga, U, prob.m)
     xb = schur_ops.group_atx(ga_slot, U, prob.m)
     np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=1e-11)
+
+
+def test_gpp_class_matches_reference_binary():
+    """SDPLIB gpp*/equalG* structure (diag constraints + a dense rank-1
+    all-ones row with b=0, C = -Laplacian/4 — ref examples/gpp100.dat-s):
+    golden objective from the reference binary run on the byte-identical
+    instance on this machine (write_sdpa -> sdpasolve):
+
+        gpp_sdpa(n=100, seed=1)
+        -> Primal dual optimal, dObj -3.7773118717e+02
+    """
+    from hdsdp_tpu.models.synthetic import gpp_sdpa
+    from hdsdp_tpu.solver.solver import HDSDPSolver
+
+    prob = SDPProblem.from_sdpa(gpp_sdpa(n=100, seed=1))
+    r = HDSDPSolver(prob, verbose=False).optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.d_obj == pytest.approx(-377.73118717, rel=1e-6)
+    assert np.max(np.abs(r.dimacs)) < 1e-2
