@@ -32,7 +32,7 @@ import numpy as np
 
 from hdsdp_tpu.models.problem import SDPProblem
 from hdsdp_tpu.models.synthetic import (
-    gpp_sdpa, maxcut_sdpa, theta_sdpa, torus_sdpa,
+    gpp_sdpa, maxcut_sdpa, qpg_sdpa, theta_sdpa, torus_sdpa,
 )
 from hdsdp_tpu.solver.solver import HDSDPSolver
 
@@ -49,6 +49,8 @@ CONFIGS = {
     "toruspm3-8-50": ("torus", dict(side=8)),
     "torusg3-15": ("torus", dict(side=15, pm=False)),
     "toruspm3-22": ("torus", dict(side=22)),  # m = 10648 >= 10k
+    "qpG11": ("qpg", dict(n=800)),
+    "qpG51": ("qpg", dict(n=1000)),
     "gpp500": ("gpp", dict(n=500)),
     "equalG11": ("gpp", dict(n=801)),
     "equalG51": ("gpp", dict(n=1001)),
@@ -65,7 +67,7 @@ def main():
 
     t0 = time.time()
     gen = {"theta": theta_sdpa, "maxcut": maxcut_sdpa, "torus": torus_sdpa,
-           "gpp": gpp_sdpa}[fam]
+           "gpp": gpp_sdpa, "qpg": qpg_sdpa}[fam]
     data = gen(**kw)
     prob = SDPProblem.from_sdpa(data)
     t_pre = time.time() - t0

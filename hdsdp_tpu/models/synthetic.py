@@ -432,3 +432,35 @@ def gpp_sdpa(n: int = 500, seed: int = 0, degree: int = 10) -> SDPAData:
     )
     data.nnz = sum(len(v) for v in vals)
     return data
+
+
+def qpg_sdpa(n: int = 800, seed: int = 0, degree: int = 6) -> SDPAData:
+    """QP-relaxation maxcut (SDPLIB qpG* family shape: qpG11 pairs the
+    maxG11 graph, n=800, with a diagonal/LP block of the same size;
+    qpG51 likewise at n=1000).
+
+        min <C, X>  s.t.  X_ii + s_i = 1/4,  s >= 0,  X psd
+
+    i.e. the maxG* equality diag constraints relaxed to inequalities via
+    LP slacks — the one SDPLIB structure that couples an SDP cone and an
+    LP cone in every constraint row at scale.  C = -Laplacian/4 on the
+    same random graph as maxcut_sdpa.  Exercises the LP-cone Schur
+    diagonal (ref interface/hdsdp_conic_lp.c:294-313) together with the
+    diagonal rank-1 SDP bucket in the same rows.
+    """
+    rng = np.random.default_rng(seed)
+    n_edges = min(n * degree // 2, n * (n - 1) // 2)
+    flat = rng.choice(n * (n - 1) // 2, size=n_edges, replace=False)
+    iu, ju = np.triu_indices(n, 1)
+    ei, ej = iu[flat], ju[flat]
+    w = rng.choice([-1.0, 1.0], size=n_edges)
+    data = _maxcut_from_edges(n, ei, ej, w)
+    # one LP slack per diag row: A_i gains +e_i on the LP block, c_lp = 0
+    data.lp = LPEntries(
+        ncols=n,
+        con=np.arange(1, n + 1, dtype=np.int32),
+        var=np.arange(n, dtype=np.int32),
+        val=np.ones(n),
+    )
+    data.nnz += n
+    return data

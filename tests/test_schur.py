@@ -443,3 +443,22 @@ def test_gpp_class_matches_reference_binary():
     assert r.status == "PRIMAL_DUAL_OPTIMAL"
     assert r.d_obj == pytest.approx(-377.73118717, rel=1e-6)
     assert np.max(np.abs(r.dimacs)) < 1e-2
+
+
+def test_qpg_class_matches_reference_binary():
+    """SDPLIB qpG* structure (maxcut diag constraints relaxed through LP
+    slacks: X_ii + s_i = 1/4 — every row couples the SDP diag bucket and
+    the LP cone).  Golden objective from the reference binary run on the
+    byte-identical instance on this machine (write_sdpa -> sdpasolve):
+
+        qpg_sdpa(n=100, seed=1)
+        -> Primal dual optimal, dObj -2.0912017164e+01
+    """
+    from hdsdp_tpu.models.synthetic import qpg_sdpa
+    from hdsdp_tpu.solver.solver import HDSDPSolver
+
+    prob = SDPProblem.from_sdpa(qpg_sdpa(n=100, seed=1))
+    r = HDSDPSolver(prob, verbose=False).optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.d_obj == pytest.approx(-20.912017164, rel=1e-6)
+    assert np.max(np.abs(r.dimacs)) < 1e-2
