@@ -130,8 +130,20 @@ def pcg(
     )
 
 
-@partial(jax.jit, static_argnames=("f32",))
-def _equilibrated_factor(M, f32: bool = True):
+def use_inverted_precond(m: int) -> bool:
+    """Inverted-preconditioner gate: on TPU the triangular-solve
+    expander is both slow and memory-hungry (an [k, m, m] f32 temp per
+    multi-RHS apply), so panel-inverting once at factor time wins for
+    any m large enough that the O(m^3) MXU inversion amortizes over the
+    refinement sweeps; on CPU LAPACK trsm is fast and the inversion is
+    pure overhead."""
+    from hdsdp_tpu.utils.platform import is_tpu
+
+    return m >= 512 and is_tpu()
+
+
+@partial(jax.jit, static_argnames=("f32", "inv"))
+def _equilibrated_factor(M, f32: bool = True, inv: bool = False):
     """Jacobi-equilibrated Cholesky preconditioner of an f64 SPD M.
 
     D^-1/2 M D^-1/2 has unit diagonal and entries in [-1, 1] (SPD), so
@@ -139,6 +151,12 @@ def _equilibrated_factor(M, f32: bool = True):
     the equilibration is also the optimal diagonal preconditioning up to
     a factor n.  Returns (L, s, ok) with s = 1/sqrt(diag(M)); L is f32
     (the fast path) or f64 (the escalation tier for kappa > 1/eps_f32).
+
+    ``inv`` returns L^-1 (blocked panel inversion) instead of L: the
+    preconditioner application then needs only two MXU matmuls per
+    sweep, where XLA's multi-RHS triangular-solve expander allocates an
+    [k, m, m] batch temp (3.4 GB at m~10k — the torus-22 OOM) and its
+    per-solve latency dominates the refinement loop on TPU.
     """
     d = jnp.diag(M)
     s = jax.lax.rsqrt(jnp.where(d > 0.0, d, 1.0))
@@ -147,12 +165,18 @@ def _equilibrated_factor(M, f32: bool = True):
         Ms = Ms.astype(jnp.float32)
     L = jnp.linalg.cholesky(Ms)
     ok = jnp.all(jnp.isfinite(L))
+    if inv:
+        from hdsdp_tpu.ops.chol import blocked_tri_inverse
+
+        L = blocked_tri_inverse(jnp.where(ok, L, jnp.eye(
+            M.shape[0], dtype=L.dtype)))
     return L, s, ok
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+@partial(jax.jit, static_argnames=("max_iter", "pre_inverted"))
 def refine_solve(M, L32, s, B, max_iter: int = 40,
-                 abs_tol: float = 1e-10, rel_tol: float = 1e-10):
+                 abs_tol: float = 1e-10, rel_tol: float = 1e-10,
+                 pre_inverted: bool = False):
     """Mixed-precision iterative refinement: f32 factor, f64 residuals.
 
     Solves M X = B [m, k] to f64 accuracy using only the f32 Cholesky
@@ -178,7 +202,10 @@ def refine_solve(M, L32, s, B, max_iter: int = 40,
 
     def apply_p(R):
         U = (s[:, None] * R).astype(L32.dtype)
-        T = chol_apply(L32, U)
+        if pre_inverted:  # L32 is L^-1: two plain matmuls
+            T = L32.T @ (L32 @ U)
+        else:
+            T = chol_apply(L32, U)
         return s[:, None] * T.astype(jnp.float64)
 
     def tol_for(X):
@@ -275,19 +302,22 @@ class AdaptiveCG:
             self._f64_left -= 1
 
     def _factor(self, M, f32: bool) -> bool:
-        L, s, ok = _equilibrated_factor(M, f32=f32)
+        inv = f32 and use_inverted_precond(M.shape[0])
+        L, s, ok = _equilibrated_factor(M, f32=f32, inv=inv)
         self.n_factor += 1
         self._fresh = True
         if not bool(ok):
             self.chol_fac = None
             return False
-        self.chol_fac = (L, s)
+        self.chol_fac = (L, s, inv)
         return True
 
     def _refine(self, M, rhs_mat):
+        L, s, inv = self.chol_fac
         X, status, iters = refine_solve(
-            M, *self.chol_fac, rhs_mat, max_iter=self.max_iter,
+            M, L, s, rhs_mat, max_iter=self.max_iter,
             abs_tol=self.abs_tol, rel_tol=self.rel_tol,
+            pre_inverted=inv,
         )
         self.last_iters = int(iters)
         self.last_status = int(status)

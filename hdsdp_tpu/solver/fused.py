@@ -254,9 +254,13 @@ def _factor_m_mp(M):
     L32 = jnp.linalg.cholesky(Ms32)
     ok32 = jnp.all(jnp.isfinite(L32))
     L32 = jnp.where(ok32, L32, jnp.eye(M.shape[0], dtype=jnp.float32))
+    inv = cg_ops.use_inverted_precond(M.shape[0])
+    if inv:  # trace-time: apply becomes two MXU matmuls per sweep
+        L32 = chol_ops.blocked_tri_inverse(L32)
 
     probe = jnp.ones((M.shape[0], 1), M.dtype)
-    _, p_status, _ = cg_ops.refine_solve(M, L32, s, probe, max_iter=20)
+    _, p_status, _ = cg_ops.refine_solve(M, L32, s, probe, max_iter=20,
+                                         pre_inverted=inv)
     need64 = jnp.logical_or(
         jnp.logical_not(ok32), p_status != cg_ops.STATUS_OK
     )
@@ -288,7 +292,9 @@ def solve_m(Lm, rhs):
         return chol_ops.chol_solve(Lf64, r)
 
     def refine(r):
-        X, _, _ = cg_ops.refine_solve(M, L32, s, r, max_iter=30)
+        X, _, _ = cg_ops.refine_solve(
+            M, L32, s, r, max_iter=30,
+            pre_inverted=cg_ops.use_inverted_precond(M.shape[0]))
         return X
 
     X = jax.lax.cond(need64, direct, refine, rhs2)

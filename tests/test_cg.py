@@ -102,3 +102,31 @@ def test_solver_cg_escalates_direct():
     x_ref = np.linalg.solve(np.asarray(M_bad), np.asarray(rhs))
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-8, atol=1e-8)
     assert ipm.Mfac[0] in ("lu", "chol")
+
+
+def test_refine_solve_pre_inverted_matches_triangular():
+    """The inverted-preconditioner apply (blocked panel inversion + two
+    matmuls — the TPU path that avoids the [k, m, m] triangular-solve
+    expander temp) must reach the same f64 accuracy as the triangular
+    apply on the same equilibrated f32 factor."""
+    from hdsdp_tpu.ops.cg import _equilibrated_factor, refine_solve
+    from hdsdp_tpu.ops.chol import blocked_tri_inverse
+
+    m, k = 600, 8
+    M = _spd(m, seed=9, cond=1e6)
+    rng = np.random.default_rng(10)
+    B = jnp.asarray(rng.normal(size=(m, k)))
+
+    L, s, ok = _equilibrated_factor(M, f32=True)
+    assert bool(ok)
+    X_tri, st_tri, _ = refine_solve(M, L, s, B)
+    Linv = blocked_tri_inverse(L, block=128)
+    X_inv, st_inv, _ = refine_solve(M, Linv, s, B, pre_inverted=True)
+
+    assert int(st_tri) == STATUS_OK and int(st_inv) == STATUS_OK
+    X_ref = np.linalg.solve(np.asarray(M), np.asarray(B))
+    scale = np.max(np.abs(X_ref))
+    np.testing.assert_allclose(np.asarray(X_tri) / scale,
+                               X_ref / scale, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(X_inv) / scale,
+                               X_ref / scale, atol=1e-9)
