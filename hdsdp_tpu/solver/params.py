@@ -77,7 +77,10 @@ class Params:
     # "auto" engages on real TPU for single-block problems whose block
     # dim >= cone_dd_threshold; "off" keeps XLA's emulated-f64 path.
     cone_fp: str = "auto"
-    cone_dd_threshold: int = 1024
+    # measured on TPU v5e: maxG51 (n=1000) warm 5.83 s with dd vs
+    # 12.1 s without (same 36 iterates, objective to 1e-9) — the n^3
+    # S-side factor/inverse dominates well below the old 1024 gate
+    cone_dd_threshold: int = 768
     # Mixed-precision Schur solves inside the FUSED bodies: factor in
     # native f32 (Jacobi-equilibrated), solve by f64 iterative
     # refinement, probe-gated in-graph f64-ladder fallback (ref default
