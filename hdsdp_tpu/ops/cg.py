@@ -170,6 +170,11 @@ def _equilibrated_factor(M, f32: bool = True, inv: bool = False):
 
         L = blocked_tri_inverse(jnp.where(ok, L, jnp.eye(
             M.shape[0], dtype=L.dtype)))
+        # a near-zero factor diagonal overflows the explicit inverse
+        # where a triangular solve would have limped through: fail fast
+        # at factor time instead of relying on the refinement stall
+        # detector to escalate (ADVICE r2)
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(L)))
     return L, s, ok
 
 

@@ -101,10 +101,19 @@ def blocked_tri_inverse(L: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     static shapes.  The diagonal-block inverses W are a [npan, B, B]
     batched small solve.  Pads m to a block multiple with an identity
     tail (exact: the padded rows/cols stay e_i).
+
+    The pad granularity is 128 (one MXU tile), NOT the panel size: the
+    panel is then chosen as the largest power-of-two multiple of 128
+    that divides the padded dimension and fits ``block``.  Padding to
+    the panel size itself wastes up to (B-1) rows of O(m^3) work — e.g.
+    m=600 at B=512 would invert a 1024x1024 (~4.9x the flops); with the
+    128-granular pad it inverts a 640x640 in 128-row panels (~1.2x).
     """
     m = L.shape[0]
-    B = min(block, max(64, m))
-    mp = -(-m // B) * B
+    mp = -(-m // 128) * 128
+    B = 128
+    while B * 2 <= min(block, mp) and mp % (B * 2) == 0:
+        B *= 2
     if mp != m:
         Lp = jnp.eye(mp, dtype=L.dtype).at[:m, :m].set(L)
     else:

@@ -217,6 +217,7 @@ def block_ratio(
     use_f32: bool = True,
     v0=None,
     return_warm: bool = False,
+    adaptive: bool | None = None,
 ):
     """Per-matrix max step for one block group, dispatching exact eigh vs
     Lanczos by mode and dimension (ref: the cone binds HLanczosSolve as
@@ -249,11 +250,14 @@ def block_ratio(
         start = v0.astype(dt) + pert * jnp.maximum(
             jnp.linalg.norm(v0, axis=-1, keepdims=True).astype(dt), 1e-30
         )
-    if return_warm:
+    if adaptive is None:
+        adaptive = return_warm
+    if adaptive:
         step, warm = lanczos_ratio_test_adaptive(Lc, dSc, start, krylov=krylov)
     else:
         # in-graph callers (fused phase programs) keep the fixed-depth
-        # kernel: a while_loop would bloat their XLA programs
+        # kernel: a while_loop would bloat their XLA programs.  They can
+        # still carry warm vectors (adaptive=False, return_warm=True).
         step, warm = lanczos_ratio_test(Lc, dSc, start, krylov=krylov)
     step = step.astype(L.dtype)
     if use_f32:

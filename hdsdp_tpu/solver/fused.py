@@ -105,6 +105,10 @@ class State(NamedTuple):
     # per-iteration log rows [max_iter, 6]:
     # (pObj, dObj, inf, mu, step, extra) in internal units
     log: jnp.ndarray
+    # per-group Lanczos warm-start vectors (f32, shape = batch + (n,));
+    # threaded through every cone_ratio call like the reference's
+    # persistent vVec (ref hdsdp_lanczos.c:166-178, 249)
+    lz: Tuple[jnp.ndarray, ...]
 
 
 # ----------------------------------------------------------------------
@@ -143,20 +147,41 @@ def logdet(c: Cones, L, s_lp):
 
 
 # trace-time ratio-test configuration: set by solve_fused before the
-# fused programs are built (included in the program cache key)
-_RATIO_CFG = {"mode": "auto", "krylov": 30}
+# fused programs are built (included in the program cache key).
+# "kwarm" > 0 enables warm-started Lanczos at that reduced fixed depth;
+# 0 keeps the cold deterministic start at full "krylov" depth.
+_RATIO_CFG = {"mode": "auto", "krylov": 30, "kwarm": 16}
 
 
-def cone_ratio(c: Cones, L, s_lp, dS, ds_lp):
+def cone_ratio(c: Cones, L, s_lp, dS, ds_lp, lz):
+    """Ratio test over all cone groups, threading per-group Lanczos
+    warm-start vectors (State.lz) like the reference's persistent vVec
+    (ref hdsdp_lanczos.c:166-178 dLanczosWarmStart): each Lanczos group
+    starts from the previous call's top Ritz image (plus the anti-
+    stagnation perturbation applied inside block_ratio) and runs a
+    reduced fixed depth.  The residual safeguard keeps the step bound
+    conservative when the reduced space has not converged, and every
+    accepted step is re-verified by an f64 interior check downstream.
+    Returns (step, new_lz)."""
+    kwarm = _RATIO_CFG["kwarm"]
     step = jnp.asarray(INF)
-    for Lg, dSg in zip(L, dS):
-        steps = ratio_ops.block_ratio(
-            Lg, dSg, mode=_RATIO_CFG["mode"], krylov=_RATIO_CFG["krylov"]
-        )
+    new_lz = []
+    for gi, (Lg, dSg) in enumerate(zip(L, dS)):
+        if kwarm > 0:
+            steps, w = ratio_ops.block_ratio(
+                Lg, dSg, mode=_RATIO_CFG["mode"], krylov=kwarm,
+                v0=lz[gi], return_warm=True, adaptive=False,
+            )
+            new_lz.append(lz[gi] if w is None else w.astype(lz[gi].dtype))
+        else:
+            steps = ratio_ops.block_ratio(
+                Lg, dSg, mode=_RATIO_CFG["mode"], krylov=_RATIO_CFG["krylov"]
+            )
+            new_lz.append(lz[gi])
         step = jnp.minimum(step, jnp.min(steps))
     if c.lp is not None:
         step = jnp.minimum(step, ratio_ops.vector_ratio_test(s_lp, ds_lp))
-    return step
+    return step, tuple(new_lz)
 
 
 def build_kkt(c: Cones, L, s_lp, Rd, kind: str):
@@ -257,6 +282,8 @@ def _factor_m_mp(M):
     inv = cg_ops.use_inverted_precond(M.shape[0])
     if inv:  # trace-time: apply becomes two MXU matmuls per sweep
         L32 = chol_ops.blocked_tri_inverse(L32)
+        # fail fast on an overflowed explicit inverse (ADVICE r2)
+        ok32 = jnp.logical_and(ok32, jnp.all(jnp.isfinite(L32)))
 
     probe = jnp.ones((M.shape[0], 1), M.dtype)
     _, p_status, _ = cg_ops.refine_solve(M, L32, s, probe, max_iter=20,
@@ -271,7 +298,9 @@ def _factor_m_mp(M):
         lambda _: (jnp.zeros_like(M), jnp.asarray(True)),
         None,
     )
-    return (M, L32, s, Lf64, need64), ok
+    # `inv` rides in the factor tuple so solve_m applies the factor the
+    # way it was built, instead of re-deriving the gate (ADVICE r2)
+    return (M, L32, s, Lf64, need64, inv), ok
 
 
 def factor_m(M):
@@ -285,7 +314,7 @@ def solve_m(Lm, rhs):
         return chol_ops.chol_solve(Lm, rhs)
     from hdsdp_tpu.ops import cg as cg_ops
 
-    M, L32, s, Lf64, need64 = Lm
+    M, L32, s, Lf64, need64, inv = Lm
     rhs2 = rhs[:, None] if rhs.ndim == 1 else rhs
 
     def direct(r):
@@ -293,8 +322,7 @@ def solve_m(Lm, rhs):
 
     def refine(r):
         X, _, _ = cg_ops.refine_solve(
-            M, L32, s, r, max_iter=30,
-            pre_inverted=cg_ops.use_inverted_precond(M.shape[0]))
+            M, L32, s, r, max_iter=30, pre_inverted=inv)
         return X
 
     X = jax.lax.cond(need64, direct, refine, rhs2)
@@ -514,7 +542,8 @@ def _phase_a_iteration(c: Cones, p: Pars, st: State, corrector_a: int):
 
     # ---- adaptive residual-reduction rate (algo.adaptive_resi_rate)
     dS, ds_lp, dsl, dsu = set_step(c, st, 0.0, -d2, 0.0)
-    step = cone_ratio(c, st.L, st.s_lp, dS, ds_lp)
+    step, lz = cone_ratio(c, st.L, st.s_lp, dS, ds_lp, st.lz)
+    st = st._replace(lz=lz)
     step = jnp.minimum(step, bound_ratio(st.sl, st.su, dsl, dsu))
     alpha_c0 = jnp.minimum(0.98 * step, 1.0)
     max_step = alpha_c0
@@ -539,7 +568,8 @@ def _phase_a_iteration(c: Cones, p: Pars, st: State, corrector_a: int):
     )
 
     dS2, ds_lp2, _, _ = set_step(c, st, 0.0, d3, 1.0)
-    alpha_inf = cone_ratio(c, st.Lchk, st.s_lp_chk, dS2, ds_lp2)
+    alpha_inf, lz = cone_ratio(c, st.Lchk, st.s_lp_chk, dS2, ds_lp2, st.lz)
+    st = st._replace(lz=lz)
 
     rate = jnp.where(alpha_c > 0, alpha_inf / alpha_c, 0.0)
     rate = jnp.minimum(0.98 * rate, 1.0)
@@ -557,7 +587,8 @@ def _phase_a_iteration(c: Cones, p: Pars, st: State, corrector_a: int):
     # ---- step: dy = d1/mu - d2 + gamma*d3
     dy = d1 / st.mu - d2 + gamma * d3
     dS, ds_lp, dsl, dsu = set_step(c, st, 0.0, dy, gamma)
-    step = cone_ratio(c, st.L, st.s_lp, dS, ds_lp)
+    step, lz = cone_ratio(c, st.L, st.s_lp, dS, ds_lp, st.lz)
+    st = st._replace(lz=lz)
     step = jnp.minimum(step, bound_ratio(st.sl, st.su, dsl, dsu))
     d_step = jnp.minimum(0.95 * step, 1.0)
     st = st._replace(
@@ -629,7 +660,8 @@ def _infeasible_corrector(c: Cones, p: Pars, st: State, Lm, n_max_corr: int):
 
                 dy = -d2
                 dS, ds_lp, dsl, dsu = set_step(c, st, 0.0, dy, 0.0)
-                step = cone_ratio(c, st.L, st.s_lp, dS, ds_lp)
+                step, lz = cone_ratio(c, st.L, st.s_lp, dS, ds_lp, st.lz)
+                st = st._replace(lz=lz)
                 step = jnp.minimum(step, bound_ratio(st.sl, st.su, dsl, dsu))
                 step = jnp.minimum(0.8 * step, 1.0)
 
@@ -672,7 +704,8 @@ def _infeasible_corrector(c: Cones, p: Pars, st: State, Lm, n_max_corr: int):
                     alpha_c = stepc
 
                     dS3, ds_lp3, dsl3, dsu3 = set_step(c, st, 0.0, d3, 1.0)
-                    step2 = cone_ratio(c, st.L, st.s_lp, dS3, ds_lp3)
+                    step2, lz = cone_ratio(c, st.L, st.s_lp, dS3, ds_lp3, st.lz)
+                    st = st._replace(lz=lz)
                     step2 = jnp.minimum(
                         step2, bound_ratio(st.sl, st.su, dsl3, dsu3)
                     )
@@ -837,7 +870,8 @@ def _choose_barrier(c: Cones, p: Pars, st: State, kkt, d1, d2, p_obj_type):
     def found_case(st):
         dy1 = -d1 / st.mu
         dS, ds_lp, dsl, dsu = set_step(c, st, 0.0, dy1, 0.0)
-        step = cone_ratio(c, st.Lchk, st.s_lp_chk, dS, ds_lp)
+        step, lz = cone_ratio(c, st.Lchk, st.s_lp_chk, dS, ds_lp, st.lz)
+        st = st._replace(lz=lz)
         step = jnp.minimum(step, bound_ratio(st.sl_chk, st.su_chk, dsl, dsu))
         step = jnp.minimum(step * 0.97, 1e+05)
         return st._replace(mu=st.mu / (1.0 + step)), jnp.asarray(True)
@@ -845,7 +879,8 @@ def _choose_barrier(c: Cones, p: Pars, st: State, kkt, d1, d2, p_obj_type):
     def notfound_case(st):
         dy2 = -d1 / st.mu + d2
         dS, ds_lp, dsl, dsu = set_step(c, st, 0.0, dy2, 0.0)
-        step_c = cone_ratio(c, st.L, st.s_lp, dS, ds_lp)
+        step_c, lz = cone_ratio(c, st.L, st.s_lp, dS, ds_lp, st.lz)
+        st = st._replace(lz=lz)
         max_step0 = step_c
         step_b = bound_ratio(st.sl, st.su, dsl, dsu)
         p_step0 = jnp.minimum(max_step0, step_b)
@@ -874,7 +909,8 @@ def _choose_barrier(c: Cones, p: Pars, st: State, kkt, d1, d2, p_obj_type):
 
         dy1 = -p_step * d1 / st.mu
         dS1, ds_lp1, dsl1, dsu1 = set_step(c, st, 0.0, dy1, 0.0)
-        step2 = cone_ratio(c, st.Lchk, st.s_lp_chk, dS1, ds_lp1)
+        step2, lz = cone_ratio(c, st.Lchk, st.s_lp_chk, dS1, ds_lp1, st.lz)
+        st = st._replace(lz=lz)
         max_step = jnp.minimum(max_step0, step2)
         step_b2 = bound_ratio(st.sl_chk, st.su_chk, dsl1, dsu1)
         max_step = jnp.minimum(max_step, step_b2)
@@ -953,7 +989,8 @@ def _reduce_potential(c: Cones, p: Pars, st: State, dy):
     required_dec = jnp.where(st.prox_norm < 0.5, 0.05, 0.0)
 
     dS, ds_lp, dsl, dsu = set_step(c, st, 0.0, dy, 0.0)
-    step = cone_ratio(c, st.L, st.s_lp, dS, ds_lp)
+    step, lz = cone_ratio(c, st.L, st.s_lp, dS, ds_lp, st.lz)
+    st = st._replace(lz=lz)
     step = jnp.minimum(step, bound_ratio(st.sl, st.su, dsl, dsu))
     dual_step0 = jnp.minimum(step * 0.95, 1.0)
 
@@ -1059,7 +1096,8 @@ def _feasible_corrector(c: Cones, p: Pars, st: State, Lm, d1, n_max_corr: int,
             # barrier function -(b'y + mu*logdet)
             barrier_now = -(c.b @ st.y + st.mu * (-logdet_cur(c, st)))
             dS, ds_lp, dsl, dsu = set_step(c, st, 0.0, dy, 0.0)
-            step = cone_ratio(c, st.L, st.s_lp, dS, ds_lp)
+            step, lz = cone_ratio(c, st.L, st.s_lp, dS, ds_lp, st.lz)
+            st = st._replace(lz=lz)
             step = jnp.minimum(step, bound_ratio(st.sl, st.su, dsl, dsu))
             step = step * 0.95
             step = jnp.minimum(
@@ -1344,7 +1382,8 @@ def _hsd_iteration(c: Cones, hp: HsdPars, st: State):
         jnp.logical_and(dtau != 0.0, t < 0.0), -t, jnp.asarray(INF)
     )
     dS, ds_lp = assemble(c, dtau, -1.0, dy, 1.0 * st.Rd)
-    step_c = cone_ratio(c, st.L, st.s_lp, dS, ds_lp)
+    step_c, lz = cone_ratio(c, st.L, st.s_lp, dS, ds_lp, st.lz)
+    st = st._replace(lz=lz)
     max_step = jnp.minimum(max_step, step_c)
     st = st._replace(
         n_small_step=st.n_small_step + jnp.where(max_step < 1e-02, 1, 0)
@@ -1520,6 +1559,19 @@ def _state_from_ipm(ipm) -> State:
     Schk = tuple(np.zeros(Sg.shape, np_d) for Sg in ipm.S)
     maker0 = Maker(mu=scal(-1.0), y=zero_m, dy=zero_m)
 
+    # Lanczos warm vectors persist across phase launches via the ipm
+    # (ref: the per-cone lanczos struct outlives the phase loops)
+    lz_shapes = tuple(Sg.shape[:-1] for Sg in ipm.S)
+    lz0 = getattr(ipm, "_lz_fused", None)
+    if lz0 is None or tuple(np.shape(w) for w in lz0) != lz_shapes:
+        lz0 = tuple(
+            np.broadcast_to(
+                1.0 + 1e-03 * np.arange(Sg.shape[-1], dtype=np.float32),
+                Sg.shape[:-1],
+            ).copy()
+            for Sg in ipm.S
+        )
+
     def maker_of(mk):
         if mk.mu is None or mk.mu <= 0 or mk.y is None:
             return maker0
@@ -1557,6 +1609,7 @@ def _state_from_ipm(ipm) -> State:
         maker_acc=maker_of(ipm.maker_acc),
         maker_inacc=maker_of(ipm.maker_inacc),
         log=np.full((ipm.params.max_iter, 6), np.nan, np_d),
+        lz=lz0,
     )
 
 
@@ -1597,6 +1650,7 @@ def _sync_to_ipm(st: State, ipm):
 
     ipm.maker_acc = maker_back(st.maker_acc)
     ipm.maker_inacc = maker_back(st.maker_inacc)
+    ipm._lz_fused = st.lz
 
 
 _STATUS_MAP = {
@@ -1704,7 +1758,7 @@ def _cache_key(ipm, phase, extra):
         for ga in ipm.cones.groups
     )
     lp_shape = None if ipm.cones.lp is None else ipm.cones.lp.A.shape
-    ratio = (_RATIO_CFG["mode"], _RATIO_CFG["krylov"])
+    ratio = (_RATIO_CFG["mode"], _RATIO_CFG["krylov"], _RATIO_CFG["kwarm"])
     return (
         phase, shapes, lp_shape, ipm.m, ratio,
         _KKT_CFG["mp"], _KKT_CFG["hp"], _KKT_CFG["dhp"], _CONE_CFG["dd"],
@@ -1766,6 +1820,7 @@ def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
     ipm.psdp = None
     _RATIO_CFG["mode"] = p.ratio_test
     _RATIO_CFG["krylov"] = p.lanczos_dim
+    _RATIO_CFG["kwarm"] = p.lanczos_warm_dim
     _KKT_CFG["mp"] = _use_mp(ipm)
     _KKT_CFG["hp"] = bool(getattr(ipm.cones, "kkt_hp", False))
     _KKT_CFG["dhp"] = bool(getattr(ipm.cones, "dual_hp", False))

@@ -40,6 +40,12 @@ class Params:
     dtype: str = "float64"
     ratio_test: str = "auto"  # "exact" | "lanczos" | "auto"
     lanczos_dim: int = 30
+    # Warm-started Lanczos depth for the fused programs: the per-group
+    # top-Ritz image is threaded through the State (ref persistent vVec,
+    # hdsdp_lanczos.c:166-178) so the Krylov space can be half as deep
+    # for the same bound quality.  0 disables warm starts (cold
+    # deterministic start at full lanczos_dim depth every call).
+    lanczos_warm_dim: int = 16
     verbose: bool = True
     model_notes: str = ""
     # stage wall-clock profiling of the host loop (utils.profile.Region);
