@@ -77,15 +77,11 @@ CASES = {
 }
 
 
-def main():
+def _bench_case(name: str):
     from hdsdp_tpu.models.problem import SDPProblem
     from hdsdp_tpu.models.synthetic import maxcut_sdpa
     from hdsdp_tpu.solver.solver import HDSDPSolver
 
-    # On the accelerator the headline is maxG55 (the largest instance the
-    # reference completes on this box in < 1 h); the CPU fallback keeps
-    # the faster maxG51 so a broken tunnel still yields a number.
-    name = "maxG51" if _ON_CPU else "maxG55"
     n, baseline_s, golden_obj = CASES[name]
     prob = SDPProblem.from_sdpa(maxcut_sdpa(n=n))
 
@@ -112,8 +108,22 @@ def main():
                 "unit": "s",
                 "vs_baseline": round(baseline_s / t, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    # Stable bench contract (round 3+): emit BOTH maxG51 and maxG55 every
+    # round so BENCH_r{N} files stay comparable across rounds.  The
+    # LAST line is the headline the driver records (maxG55 on the
+    # accelerator).  The CPU fallback keeps only the faster maxG51 so a
+    # broken tunnel still yields a number.
+    if _ON_CPU:
+        _bench_case("maxG51")
+        return
+    _bench_case("maxG51")
+    _bench_case("maxG55")
 
 
 if __name__ == "__main__":

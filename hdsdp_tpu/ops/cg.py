@@ -178,10 +178,23 @@ def _equilibrated_factor(M, f32: bool = True, inv: bool = False):
     return L, s, ok
 
 
-@partial(jax.jit, static_argnames=("max_iter", "pre_inverted"))
+def use_hp_residual(m: int) -> bool:
+    """Residual-matmul backend gate for refine_solve: XLA's emulated-f64
+    dot_general materializes an [8, m, k_contract] f32 operand expansion
+    per call (3.4 GB at m~10k — the torus-22 OOM's largest allocation),
+    so at large m on TPU the residual R = B - M X runs through the
+    Ozaki-sliced MXU matmul instead (ops.hpmm, ~2^-45 accurate): M is
+    sliced ONCE per factorization into [6, m, m] bf16 (12 B/elem vs the
+    expansion's 32) and each sweep costs plain bf16 MXU passes."""
+    from hdsdp_tpu.utils.platform import is_tpu
+
+    return m >= 8192 and is_tpu()
+
+
+@partial(jax.jit, static_argnames=("max_iter", "pre_inverted", "hp_residual"))
 def refine_solve(M, L32, s, B, max_iter: int = 40,
                  abs_tol: float = 1e-10, rel_tol: float = 1e-10,
-                 pre_inverted: bool = False):
+                 pre_inverted: bool = False, hp_residual: bool = False):
     """Mixed-precision iterative refinement: f32 factor, f64 residuals.
 
     Solves M X = B [m, k] to f64 accuracy using only the f32 Cholesky
@@ -200,10 +213,26 @@ def refine_solve(M, L32, s, B, max_iter: int = 40,
 
     bnorm = jnp.max(jnp.linalg.norm(B, axis=0))
     # infinity norm of M for the backward-stable acceptance level: a
-    # residual below ~eps64 * (|B| + |M||X|) is what an exact f64 direct
-    # solve would leave -- demanding less is unreachable at high kappa
+    # residual below ~eps * (|B| + |M||X|) is what an exact direct solve
+    # at the residual-evaluation precision would leave -- demanding less
+    # is unreachable at high kappa.  With hp_residual the evaluation
+    # noise floor is the Ozaki slicing's ~2^-45, still well inside
+    # LAPACK dpotrs' O(n)*eps64 backward-error guarantee at m >= 8192
+    # (ref hdsdp_linsolver.c:1204-1236 semantics).
     mnorm = jnp.max(jnp.sum(jnp.abs(M), axis=1))
     eps64 = jnp.float64(2.220446049250313e-16)
+    eps_res = jnp.float64(2.0 ** -45) if hp_residual else eps64
+
+    if hp_residual:
+        from hdsdp_tpu.ops import hpmm as hpmm_ops
+
+        m_sl, e_m = hpmm_ops.hpmm_slice_a(M)
+
+        def mdot(X):
+            return hpmm_ops.hpmm_presliced(m_sl, e_m, X)
+    else:
+        def mdot(X):
+            return M @ X
 
     def apply_p(R):
         U = (s[:, None] * R).astype(L32.dtype)
@@ -215,11 +244,11 @@ def refine_solve(M, L32, s, B, max_iter: int = 40,
 
     def tol_for(X):
         xnorm = jnp.max(jnp.linalg.norm(X, axis=0))
-        stable = 16.0 * eps64 * (bnorm + mnorm * xnorm)
+        stable = 16.0 * eps_res * (bnorm + mnorm * xnorm)
         return jnp.maximum(jnp.maximum(abs_tol, rel_tol * bnorm), stable)
 
     X0 = apply_p(B)
-    R0 = B - M @ X0
+    R0 = B - mdot(X0)
     rn0 = jnp.max(jnp.linalg.norm(R0, axis=0))
 
     def cond(c):
@@ -229,7 +258,7 @@ def refine_solve(M, L32, s, B, max_iter: int = 40,
     def body(c):
         X, R, rn_prev, it, status = c
         X = X + apply_p(R)
-        R = B - M @ X
+        R = B - mdot(X)
         rn = jnp.max(jnp.linalg.norm(R, axis=0))
         status = jnp.where(rn != rn, STATUS_NUMERICAL, status)
         status = jnp.where(
@@ -322,7 +351,7 @@ class AdaptiveCG:
         X, status, iters = refine_solve(
             M, L, s, rhs_mat, max_iter=self.max_iter,
             abs_tol=self.abs_tol, rel_tol=self.rel_tol,
-            pre_inverted=inv,
+            pre_inverted=inv, hp_residual=use_hp_residual(M.shape[0]),
         )
         self.last_iters = int(iters)
         self.last_status = int(status)

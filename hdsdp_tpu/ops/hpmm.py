@@ -310,6 +310,37 @@ def _hpmm_f64_impl(a, b, gmax):
     return c * _pow2(ea, a.dtype) * _pow2(eb, a.dtype)
 
 
+def hpmm_slice_a(a, gmax=5):
+    """Pre-slice the left operand of :func:`hpmm` for reuse across many
+    products with the SAME a (iterative-refinement residuals: one
+    factorization serves dozens of ``a @ X`` evaluations).  Returns
+    (a_sl [q, M, Kpad] bf16, ea [M, 1] int32 row exponents).
+
+    Memory: q * M * K bf16 = 12 bytes/element at q=6 — substantially
+    below the [8, M, K] f32 operand expansion XLA's f64 dot emulation
+    materializes per call (the torus-22 3.4 GB OOM allocation)."""
+    ea = _exp_of(jnp.max(jnp.abs(a), axis=1, keepdims=True))
+    an = a * _pow2(-ea, a.dtype)
+    ah, al = dd.from_f64(an)
+    a_sl = _pad_k(_slices(ah, al, gmax + 1), axis=2)
+    return a_sl, ea
+
+
+@partial(jax.jit, static_argnames=("gmax",))
+def hpmm_presliced(a_sl, ea, b, gmax=5):
+    """f64 (pre-sliced a) @ b, the per-product half of hpmm()."""
+    eb = _exp_of(jnp.max(jnp.abs(b), axis=0, keepdims=True))
+    bn = b * _pow2(-eb, b.dtype)
+    bh, bl = dd.from_f64(bn)
+    b_sl = _pad_k(_slices(bh, bl, gmax + 1), axis=1)
+    kpad = a_sl.shape[2]
+    if b_sl.shape[1] != kpad:  # K pad must match the pre-sliced operand
+        b_sl = jnp.pad(b_sl, ((0, 0), (0, kpad - b_sl.shape[1]), (0, 0)))
+    ch, cl = _matmul_dispatch(a_sl, b_sl, gmax)
+    c = ch.astype(b.dtype) + cl.astype(b.dtype)
+    return c * _pow2(ea, b.dtype) * _pow2(eb, b.dtype)
+
+
 def hpmm_syrk(a, gmax=5):
     """f64 a @ a.T with a single slice extraction."""
     return _hpmm_syrk_impl(a, gmax)

@@ -192,7 +192,16 @@ class ShardedConeSystem(ConeSystem):
     shard_map'ped versions.  Factors, ratio tests and barrier values are
     computed replicated: they are O(g n^3) against the O(m R n^2 + m^2 R)
     assembly and their inputs are already replicated on the mesh.
+
+    The Schur matrix is combined with ``psum_scatter`` over the row
+    axis, NOT ``psum``: each device keeps only its m/ndev row shard
+    (padded to a multiple of ndev with an identity tail, exactly like
+    RowShardedConeSystem), and the factorization downstream is the
+    distributed blocked Cholesky / row-sharded CG — no device ever
+    materializes the full m x m matrix on the multi-block path either.
     """
+
+    is_row_sharded = True
 
     def __init__(
         self,
@@ -207,8 +216,13 @@ class ShardedConeSystem(ConeSystem):
         self.axis = mesh.axis_names[0]
         self.ndev = int(np.prod(mesh.devices.shape))
         self.groups = tuple(pad_group(ga, self.ndev) for ga in self.groups)
+        # M is handed out padded to a multiple of ndev with an identity
+        # tail so its P("row", None) sharding is even (same contract as
+        # RowShardedConeSystem; the solver pads/slices its m-vectors)
+        self.m_pad = -(-self.m // self.ndev) * self.ndev
 
         spec_all = P()  # replicated inputs/outputs; work is split by index
+        spec_mrow = P(self.axis, None)  # row-sharded Schur matrix
 
         def _assemble_body(groups, lp, dC, scal, y, dEye):
             idx = jax.lax.axis_index(self.axis)
@@ -277,9 +291,23 @@ class ShardedConeSystem(ConeSystem):
                     csinvcsinv = csinvcsinv + is0 * jnp.sum(csi * csi)
                     # LP CSinvRdSinv omitted (ref hdsdp_conic_lp.c:315-327)
 
-            outs = (M, asinv, trsas, asinvcsinv, csinv, csinvcsinv, csinvrdsinv, tr_u)
+            outs = (asinv, trsas, asinvcsinv, csinv, csinvcsinv, csinvrdsinv, tr_u)
             outs = jax.lax.psum(outs, self.axis)
-            M, asinv, trsas, asinvcsinv, csinv, csinvcsinv, csinvrdsinv, tr_u = outs
+            asinv, trsas, asinvcsinv, csinv, csinvcsinv, csinvrdsinv, tr_u = outs
+            if with_m:
+                # combine the m x m partials with a reduce-scatter: each
+                # device keeps only its row shard (identity tail added by
+                # device 0 so the sum carries exactly one copy)
+                pad = self.m_pad - m
+                Mp = jnp.pad(M, ((0, pad), (0, pad)))
+                if pad:
+                    tail = jnp.concatenate(
+                        [jnp.zeros(m, Mp.dtype), jnp.ones(pad, Mp.dtype)]
+                    )
+                    Mp = Mp + is0 * jnp.diag(tail)
+                M = jax.lax.psum_scatter(
+                    Mp, self.axis, scatter_dimension=0, tiled=True
+                )
             return KKTOut(
                 M=M,
                 asinv=asinv,
@@ -291,13 +319,13 @@ class ShardedConeSystem(ConeSystem):
                 trace_sinv=tr_u,
             )
 
-        def _shmap(body):
+        def _shmap(body, out_specs=spec_all):
             try:
                 return shard_map(
                     body,
                     mesh=self.mesh,
                     in_specs=spec_all,
-                    out_specs=spec_all,
+                    out_specs=out_specs,
                     check_vma=False,
                 )
             except TypeError:  # older jax uses check_rep
@@ -305,9 +333,22 @@ class ShardedConeSystem(ConeSystem):
                     body,
                     mesh=self.mesh,
                     in_specs=spec_all,
-                    out_specs=spec_all,
+                    out_specs=out_specs,
                     check_rep=False,
                 )
+
+        def _kkt_out_specs(kind):
+            hsd = kind == "hsd"
+            return KKTOut(
+                M=spec_mrow if kind != "corr" else None,
+                asinv=spec_all,
+                asinvrdsinv=spec_all,
+                asinvcsinv=spec_all if hsd else None,
+                csinv=spec_all,
+                csinvcsinv=spec_all,
+                csinvrdsinv=spec_all,
+                trace_sinv=spec_all,
+            )
 
         self._assemble_sharded = jax.jit(
             lambda groups, lp, dC, scal, y, dEye: _shmap(_assemble_body)(
@@ -317,7 +358,7 @@ class ShardedConeSystem(ConeSystem):
         self._kkt_sharded = {
             kind: jax.jit(
                 lambda groups, lp, L, s_lp, Rd, _k=kind: _shmap(
-                    partial(_kkt_body, kind=_k)
+                    partial(_kkt_body, kind=_k), out_specs=_kkt_out_specs(_k)
                 )(groups, lp, L, s_lp, Rd)
             )
             for kind in ("inf", "hsd", "corr")

@@ -284,23 +284,31 @@ def _factor_m_mp(M):
         L32 = chol_ops.blocked_tri_inverse(L32)
         # fail fast on an overflowed explicit inverse (ADVICE r2)
         ok32 = jnp.logical_and(ok32, jnp.all(jnp.isfinite(L32)))
+    hp = cg_ops.use_hp_residual(M.shape[0])
 
     probe = jnp.ones((M.shape[0], 1), M.dtype)
     _, p_status, _ = cg_ops.refine_solve(M, L32, s, probe, max_iter=20,
-                                         pre_inverted=inv)
+                                         pre_inverted=inv, hp_residual=hp)
     need64 = jnp.logical_or(
         jnp.logical_not(ok32), p_status != cg_ops.STATUS_OK
     )
 
-    Lf64, ok = jax.lax.cond(
-        need64,
-        lambda _: _factor_m_f64(M),
-        lambda _: (jnp.zeros_like(M), jnp.asarray(True)),
-        None,
-    )
-    # `inv` rides in the factor tuple so solve_m applies the factor the
-    # way it was built, instead of re-deriving the gate (ADVICE r2)
-    return (M, L32, s, Lf64, need64, inv), ok
+    # At hp_residual sizes the pre-materialized f64 fallback factor is
+    # a pure-waste [m, m] f64 buffer on the (overwhelmingly common) f32
+    # path; solve_m refactors lazily inside its escalation branch there.
+    lazy64 = hp
+    if lazy64:
+        Lf64, ok = jnp.zeros((0, 0), M.dtype), jnp.asarray(True)
+    else:
+        Lf64, ok = jax.lax.cond(
+            need64,
+            lambda _: _factor_m_f64(M),
+            lambda _: (jnp.zeros_like(M), jnp.asarray(True)),
+            None,
+        )
+    # `inv` / `hp` ride in the factor tuple so solve_m applies the factor
+    # the way it was built, instead of re-deriving the gates (ADVICE r2)
+    return (M, L32, s, Lf64, need64, inv, hp), ok
 
 
 def factor_m(M):
@@ -314,15 +322,18 @@ def solve_m(Lm, rhs):
         return chol_ops.chol_solve(Lm, rhs)
     from hdsdp_tpu.ops import cg as cg_ops
 
-    M, L32, s, Lf64, need64, inv = Lm
+    M, L32, s, Lf64, need64, inv, hp = Lm
     rhs2 = rhs[:, None] if rhs.ndim == 1 else rhs
 
     def direct(r):
+        if Lf64.shape[0] == 0:  # lazy f64 tier (hp_residual sizes)
+            L, _ = _factor_m_f64(M)
+            return chol_ops.chol_solve(L, r)
         return chol_ops.chol_solve(Lf64, r)
 
     def refine(r):
         X, _, _ = cg_ops.refine_solve(
-            M, L32, s, r, max_iter=30, pre_inverted=inv)
+            M, L32, s, r, max_iter=30, pre_inverted=inv, hp_residual=hp)
         return X
 
     X = jax.lax.cond(need64, direct, refine, rhs2)

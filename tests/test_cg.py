@@ -130,3 +130,27 @@ def test_refine_solve_pre_inverted_matches_triangular():
                                X_ref / scale, atol=1e-9)
     np.testing.assert_allclose(np.asarray(X_inv) / scale,
                                X_ref / scale, atol=1e-9)
+
+
+def test_refine_solve_hp_residual_matches_direct():
+    """hp_residual=True evaluates R = B - M X through the Ozaki-sliced
+    MXU matmul (the large-m TPU path that avoids XLA's [8, m, m] f64
+    dot-emulation temp — the torus-22 OOM) and must still converge to a
+    direct-solve-accurate X under its ~2^-45 acceptance floor."""
+    from hdsdp_tpu.ops.cg import STATUS_OK, _equilibrated_factor, refine_solve
+
+    m, k = 384, 5
+    M = _spd(m, seed=12, cond=1e6)
+    rng = np.random.default_rng(13)
+    B = jnp.asarray(rng.normal(size=(m, k)))
+
+    L, s, ok = _equilibrated_factor(M, f32=True)
+    assert bool(ok)
+    X, st, _ = refine_solve(M, L, s, B, hp_residual=True)
+    assert int(st) == STATUS_OK
+    X_ref = np.linalg.solve(np.asarray(M), np.asarray(B))
+    scale = np.max(np.abs(X_ref))
+    # forward-error floor is kappa * 2^-45 ~ 3e-8 at cond=1e6 (the f64
+    # path's floor is kappa * n * eps64 — same order at this size)
+    np.testing.assert_allclose(np.asarray(X) / scale, X_ref / scale,
+                               atol=1e-7)

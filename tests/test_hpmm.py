@@ -89,3 +89,16 @@ def test_hpmm_nan_propagates():
     c = np.asarray(hpmm.hpmm(a, np.ones((8, 8))))
     assert np.isnan(c[3]).all()
     assert np.isfinite(c[0]).all()
+
+
+def test_hpmm_presliced_matches_hpmm():
+    """Pre-slicing the left operand (reused across refinement sweeps)
+    must reproduce hpmm() exactly for the same inputs."""
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(96, 200)) * np.exp(rng.normal(size=(96, 1)) * 3)
+    b = rng.normal(size=(200, 7))
+    a_sl, ea = hpmm.hpmm_slice_a(a)
+    c_pre = np.asarray(hpmm.hpmm_presliced(a_sl, ea, b))
+    err = _relerr(c_pre, _ref_matmul(a, b))
+    assert err < 1e-12, err
+    np.testing.assert_array_equal(c_pre, np.asarray(hpmm.hpmm(a, b)))

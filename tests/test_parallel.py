@@ -41,14 +41,28 @@ def test_sharded_kkt_matches_single(examples_dir, mesh, fname):
     ok2, L2 = sh.factor(S2, s2)
     assert bool(ok1) and bool(ok2)
 
+    m = prob.m
     for kind in ("hsd", "inf", "corr"):
         k1 = ref.build_kkt(L1, s1, -1.3, kind)
         k2 = sh.build_kkt(L2, s2, -1.3, kind)
         if kind != "corr":
+            # the multi-block path must also hand M out row-sharded:
+            # psum_scatter, not psum (no device holds every row)
+            spec = k2.M.sharding.spec
+            assert spec[0] == "row", f"M not row-sharded: {k2.M.sharding}"
+            nrows_local = max(s.data.shape[0] for s in k2.M.addressable_shards)
+            assert nrows_local < m
             scale = max(1.0, float(jnp.max(jnp.abs(k1.M))))
             np.testing.assert_allclose(
-                np.asarray(k2.M), np.asarray(k1.M), atol=1e-9 * scale
+                np.asarray(k2.M)[:m, :m], np.asarray(k1.M), atol=1e-9 * scale
             )
+            # identity tail on the padding rows
+            pad = k2.M.shape[0] - m
+            if pad:
+                np.testing.assert_allclose(
+                    np.asarray(k2.M)[m:, m:], np.eye(pad), atol=1e-12
+                )
+                assert float(jnp.max(jnp.abs(k2.M[m:, :m]))) == 0.0
         np.testing.assert_allclose(
             np.asarray(k2.asinv), np.asarray(k1.asinv), atol=1e-9
         )
@@ -157,6 +171,63 @@ def test_row_sharded_kkt_matches_single(mesh):
         np.testing.assert_allclose(
             np.asarray(k2.asinvrdsinv), np.asarray(k1.asinvrdsinv), atol=1e-9
         )
+
+
+def test_mesh_hsd_path(mesh):
+    """A dual-infeasible multi-block instance must traverse the HSD
+    phase (Phase A') under a mesh: the hsd KKT build exercises the
+    sharded asinvcsinv/csinv kernels end-to-end."""
+    from hdsdp_tpu.io.sdpa import BlockEntries, SDPAData
+
+    # block 1: C=[[0,1],[1,0]], A1=diag(1,0) -> det(C - y A1) = -1 for
+    # all y: no dual interior, the HSD method must engage.  block 2 is a
+    # benign identity block that makes the problem multi-block (routes
+    # through ShardedConeSystem instead of the row-sharded system).
+    data = SDPAData(
+        m=1, block_dims=[2, 3], b=np.array([1.0]),
+        blocks=[
+            BlockEntries(
+                dim=2,
+                con=np.array([0, 1], np.int32),
+                row=np.array([1, 0], np.int32),
+                col=np.array([0, 0], np.int32),
+                val=np.array([1.0, 1.0]),
+            ),
+            BlockEntries(
+                dim=3,
+                con=np.zeros(3, np.int32),
+                row=np.arange(3, dtype=np.int32),
+                col=np.arange(3, dtype=np.int32),
+                val=np.ones(3),
+            ),
+        ],
+        nnz=5,
+    )
+    prob = SDPProblem.from_sdpa(data)
+    solver = HDSDPSolver(prob, mesh=mesh, verbose=False)
+    r = solver.optimize()
+    assert r.status in ("INFEAS_OR_UNBOUNDED", "SUSPECT_INFEAS_OR_UNBOUNDED")
+    assert solver.ipm.which_method == "hsd"  # Phase A' actually ran
+
+
+def test_mesh_psdp_handoff(mesh):
+    """A theta-class instance (single cone, m >> n: the PSDP-eligible
+    shape, ref hdsdp.c:153-159) solved under a mesh must hand off to
+    PSDP from the host loop, with the primal KKT factored through the
+    distributed path, and reach the single-chip optimum."""
+    from hdsdp_tpu.models.synthetic import theta_sdpa
+
+    data = theta_sdpa(n=40, n_edges=200, seed=9)
+    prob = SDPProblem.from_sdpa(data)
+    assert prob.features.n_max_cone_dim < prob.features.n_rows / 3
+    r_ref = HDSDPSolver(prob, verbose=False).optimize()
+    solver = HDSDPSolver(prob, mesh=mesh, verbose=False)
+    r = solver.optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    # the hand-off must actually have happened and produced a primal X
+    assert solver.ipm.psdp is not None and solver.ipm.psdp.X is not None
+    assert r.d_obj == pytest.approx(r_ref.d_obj, rel=1e-5)
+    assert np.max(np.abs(r.dimacs)) < 1e-2
 
 
 def test_row_sharded_end_to_end(mesh):
