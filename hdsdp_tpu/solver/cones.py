@@ -216,6 +216,13 @@ def _ctx(groups, lp, X_list, x_lp):
 # ----------------------------------------------------------------------
 
 
+# Max unrolled gathered-m^2 terms (r(r+1)/2 * c^2) the bounded-support
+# Schur build may emit before falling back to slot-major matmuls: the
+# theta family needs 24 (r=3, c=2); a hypothetical c=4/r=8 instance
+# would emit 576 and compile for an hour.
+SUPPORT_TERM_BUDGET = 64
+
+
 class ConeSystem:
     """Holds device-side cone data and compiled cone operations."""
 
@@ -262,7 +269,17 @@ class ConeSystem:
                 v = Fs[0][np.arange(m), p]
                 dpos = jnp.asarray(p, jnp.int32)
                 dw = jnp.asarray(lams[0] * v * v, dtype)
-            elif nnz_rows.max(initial=0) <= 4:
+            elif (
+                nnz_rows.max(initial=0) <= 4
+                # compile-budget guard: the support M build unrolls
+                # r(r+1)/2 * c^2 gathered m x m Hadamard terms
+                # (ops.schur._support_schur); past this budget the
+                # unroll dominates XLA compile time, so fall back to
+                # the slot-major matmul path instead
+                and (r * (r + 1) // 2)
+                * int(nnz_rows.max(initial=1)) ** 2
+                <= SUPPORT_TERM_BUDGET
+            ):
                 # bounded-support layout (see GroupArrays.spos): the
                 # theta family's rank-2 coefficients have 2-nnz
                 # eigenvectors — assembly becomes m^2 gathers
@@ -276,6 +293,14 @@ class ConeSystem:
                         sval_np[j, i, : len(idx)] = Fs[j, i, idx]
                 spos = jnp.asarray(spos_np)
                 sval = jnp.asarray(sval_np, dtype)
+            elif nnz_rows.max(initial=0) <= 4:
+                import logging
+
+                logging.getLogger("hdsdp_tpu").info(
+                    "support bucket skipped: r=%d c=%d exceeds the "
+                    "unrolled-term compile budget (%d); using slot-major",
+                    r, int(nnz_rows.max(initial=1)), SUPPORT_TERM_BUDGET,
+                )
             return (
                 jnp.asarray(Fs, dtype),
                 jnp.asarray(lams, dtype),

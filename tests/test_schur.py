@@ -462,3 +462,64 @@ def test_qpg_class_matches_reference_binary():
     assert r.status == "PRIMAL_DUAL_OPTIMAL"
     assert r.d_obj == pytest.approx(-20.912017164, rel=1e-6)
     assert np.max(np.abs(r.dimacs)) < 1e-2
+
+
+def test_support_bucket_compile_budget_fallback():
+    """An instance whose coefficients have wide-support eigenvectors
+    (4x4 dense patches: r=4 slots, c=4 nnz -> 160 unrolled gathered
+    terms > SUPPORT_TERM_BUDGET) must SKIP the support bucket and fall
+    back to the slot-major matmul path, still producing the same KKT as
+    the flat layout."""
+    import jax.numpy as jnp
+    from hdsdp_tpu.io.sdpa import BlockEntries, SDPAData
+    from hdsdp_tpu.solver.cones import SUPPORT_TERM_BUDGET, ConeSystem
+
+    rng = np.random.default_rng(6)
+    n, m = 16, 12
+    con, row, col, val = [], [], [], []
+    # objective: identity
+    for i in range(n):
+        con.append(0); row.append(i); col.append(i); val.append(1.0)
+    # constraints: dense symmetric 4x4 patch at a rotating offset
+    for k in range(1, m + 1):
+        o = 4 * (k % 4)
+        P = rng.standard_normal((4, 4))
+        P = P + P.T
+        for a in range(4):
+            for b_ in range(a + 1):
+                con.append(k); row.append(o + a); col.append(o + b_)
+                val.append(P[a, b_])
+    data = SDPAData(
+        m=m, block_dims=[n], b=rng.standard_normal(m),
+        blocks=[BlockEntries(dim=n, con=np.asarray(con, np.int32),
+                             row=np.asarray(row, np.int32),
+                             col=np.asarray(col, np.int32),
+                             val=np.asarray(val))],
+        nnz=len(val),
+    )
+    prob = SDPProblem.from_sdpa(data)
+    cones = ConeSystem(prob)
+    ga = cones.groups[0]
+    r, c = ga.Fs.shape[0], 4
+    assert (r * (r + 1) // 2) * c * c > SUPPORT_TERM_BUDGET
+    assert ga.spos is None  # budget guard fell back to slot-major
+    assert ga.dpos is None
+
+    # slot-major result must still match the flat layout elementwise
+    flat = ConeSystem(prob, layout="flat")
+    y = jnp.asarray(rng.standard_normal(m) * 0.01)
+    shift = 10.0 + prob.features.obj_fro_norm
+    S1, _ = cones.assemble(1.0, -1.0, y, shift)
+    S2, _ = flat.assemble(1.0, -1.0, y, shift)
+    np.testing.assert_allclose(np.asarray(S1[0]), np.asarray(S2[0]),
+                               atol=1e-12)
+    ok1, L1 = cones.factor(S1, None)
+    ok2, L2 = flat.factor(S2, None)
+    assert bool(ok1) and bool(ok2)
+    k1 = cones.build_kkt(L1, None, -1.3, "inf")
+    k2 = flat.build_kkt(L2, None, -1.3, "inf")
+    scale = max(1.0, float(jnp.max(jnp.abs(k2.M))))
+    np.testing.assert_allclose(np.asarray(k1.M), np.asarray(k2.M),
+                               atol=1e-10 * scale)
+    np.testing.assert_allclose(np.asarray(k1.asinv), np.asarray(k2.asinv),
+                               atol=1e-10)
