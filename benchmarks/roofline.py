@@ -26,6 +26,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax
 
+# honor JAX_PLATFORMS=cpu: the axon TPU plugin registers regardless of
+# the env var; only the config update beats plugin priority (NOTES.md)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -54,8 +58,8 @@ def matmul_ceiling(dtype, k=4096):
     return 2 * k**3 / t / 1e12
 
 
-def assembly_rate(m, n, r=2):
-    """Slot-major Schur assembly achieved Tflop/s (f64 path)."""
+def assembly_rate(m, n, r=2, hp=False):
+    """Slot-major Schur assembly achieved Tflop/s (f64 or Ozaki-hp)."""
     from hdsdp_tpu.ops.schur import GroupArrays, group_schur
 
     rng = np.random.default_rng(1)
@@ -77,7 +81,7 @@ def assembly_rate(m, n, r=2):
 
     f = jax.jit(
         lambda u: jax.tree.reduce(
-            lambda a, b: a + jnp.sum(b), group_schur(ga, u, m), 0.0
+            lambda a, b: a + jnp.sum(b), group_schur(ga, u, m, hp=hp), 0.0
         )
     )
     t = _time(f, U)
@@ -109,6 +113,20 @@ def chol_rates(m):
     except Exception as e:  # pallas path unavailable off-TPU
         out["dd_chol"] = (float("nan"), float("nan"))
         print(f"  (dd_chol skipped: {type(e).__name__})")
+    # the full mp KKT factor as the solver runs it: equilibrate, f32
+    # Cholesky, panel-invert the factor (TPU inverted-precond path)
+    from hdsdp_tpu.ops.cg import _equilibrated_factor, use_inverted_precond
+
+    inv = use_inverted_precond(m)
+    mp = jax.jit(
+        lambda a: jnp.sum(
+            _equilibrated_factor(a, f32=True, inv=inv)[0].astype(jnp.float64)
+        )
+    )
+    t = _time(mp, Mat)
+    # inversion adds ~2/3 m^3 on top of the m^3/3 factor when engaged
+    mp_flops = flops * (3.0 if inv else 1.0)
+    out["mp_factor" + ("+inv" if inv else "")] = (mp_flops / t / 1e12, t)
     return out
 
 
@@ -137,6 +155,16 @@ def main():
             f"assembly  m={m:5d} n={n:4d} r=2: {t*1e3:8.2f} ms "
             f"{rate:7.3f} Tflop/s = {100*rate/ceil['f64']:5.1f}% of f64 ceiling"
         )
+        try:
+            rate, t = assembly_rate(m, n, hp=True)
+            print(
+                f"assembly  m={m:5d} n={n:4d} r=2 hp: {t*1e3:6.2f} ms "
+                f"{rate:7.3f} Tflop/s = {100*rate/ceil['f64']:5.1f}% of f64 "
+                f"ceiling ({100*21*rate/ceil['bf16']:5.1f}% of bf16 at 21x "
+                f"slice passes)"
+            )
+        except Exception as e:
+            print(f"  (hp assembly skipped: {type(e).__name__})")
 
     for m in sorted({int(tok.split(":")[0]) for tok in args.sizes.split(",")}):
         rates = chol_rates(m)
