@@ -848,7 +848,7 @@ def make_phase_a(corrector_a: int, max_iter: int,
         def body(st, c, p, reset_rd):
             return _phase_a_body(c, p, reset_rd, st, corrector_a, allow_reset)
 
-        return jax.jit(body)
+        return jax.jit(body, donate_argnums=(0,))
 
     def run(st: State, c: Cones, p: Pars, reset_rd):
         def cond(st: State):
@@ -863,7 +863,7 @@ def make_phase_a(corrector_a: int, max_iter: int,
         )
         return st
 
-    return jax.jit(run)
+    return jax.jit(run, donate_argnums=(0,))
 
 
 # ----------------------------------------------------------------------
@@ -1321,7 +1321,7 @@ def make_phase_b(corrector_b: int, max_iter: int,
         def body(st_ex, c, p):
             return _phase_b_iteration(c, p, st_ex, corrector_b, psdp_eligible)
 
-        return jax.jit(body)
+        return jax.jit(body, donate_argnums=(0,))
 
     def run(st: State, c: Cones, p: Pars):
         def cond(st_ex):
@@ -1339,7 +1339,7 @@ def make_phase_b(corrector_b: int, max_iter: int,
         )
         return st
 
-    return jax.jit(run)
+    return jax.jit(run, donate_argnums=(0,))
 
 
 # ----------------------------------------------------------------------
@@ -1501,7 +1501,7 @@ def make_hsd(max_iter: int, whole_phase: bool = True):
         def body(st, c, hp):
             return _hsd_body(c, hp, st)
 
-        return jax.jit(body)
+        return jax.jit(body, donate_argnums=(0,))
 
     def run(st: State, c: Cones, hp: HsdPars):
         def cond(st: State):
@@ -1513,7 +1513,7 @@ def make_hsd(max_iter: int, whole_phase: bool = True):
         )
         return st
 
-    return jax.jit(run)
+    return jax.jit(run, donate_argnums=(0,))
 
 
 # ----------------------------------------------------------------------
@@ -1559,7 +1559,12 @@ def _state_from_ipm(ipm) -> State:
     d = ipm.dtype
     m = ipm.m
     np_d = np.dtype(d.dtype if hasattr(d, "dtype") else d)
-    zero_m = np.zeros((m,), np_d)
+
+    def zero_m():
+        # fresh array per field: the State is DONATED to the fused
+        # programs, and aliasing one host buffer into several donated
+        # leaves would defeat (or warn out of) the aliasing analysis
+        return np.zeros((m,), np_d)
 
     def scal(v):
         # host scalar: the jit call batches all transfers in one dispatch
@@ -1568,7 +1573,8 @@ def _state_from_ipm(ipm) -> State:
         return np.asarray(v, np_d)
 
     Schk = tuple(np.zeros(Sg.shape, np_d) for Sg in ipm.S)
-    maker0 = Maker(mu=scal(-1.0), y=zero_m, dy=zero_m)
+    def maker0():
+        return Maker(mu=scal(-1.0), y=zero_m(), dy=zero_m())
 
     # Lanczos warm vectors persist across phase launches via the ipm
     # (ref: the per-cone lanczos struct outlives the phase loops)
@@ -1585,7 +1591,7 @@ def _state_from_ipm(ipm) -> State:
 
     def maker_of(mk):
         if mk.mu is None or mk.mu <= 0 or mk.y is None:
-            return maker0
+            return maker0()
         return Maker(mu=scal(mk.mu), y=np.asarray(mk.y, np_d),
                      dy=np.asarray(mk.dy, np_d))
 
@@ -1606,8 +1612,8 @@ def _state_from_ipm(ipm) -> State:
             np.zeros(ipm.s_lp.shape, np_d) if ipm.s_lp is not None else None
         ),
         Lchk=tuple(np.zeros(Lg.shape, np_d) for Lg in ipm.L),
-        sl_chk=zero_m,
-        su_chk=zero_m,
+        sl_chk=zero_m(),
+        su_chk=zero_m(),
         prox_norm=scal(ipm.prox_norm),
         p_obj_internal=scal(ipm.p_obj_internal),
         d_obj_internal=scal(ipm.d_obj_internal),
