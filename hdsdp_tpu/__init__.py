@@ -43,6 +43,7 @@ jax.config.update("jax_enable_x64", True)
 
 from hdsdp_tpu.io.sdpa import read_sdpa  # noqa: E402
 from hdsdp_tpu.models.problem import SDPProblem  # noqa: E402
+from hdsdp_tpu.solver.batch import solve_batch  # noqa: E402
 from hdsdp_tpu.solver.solver import HDSDPSolver, solve_sdpa_file  # noqa: E402
 
 __version__ = "0.1.0"
@@ -51,5 +52,6 @@ __all__ = [
     "read_sdpa",
     "SDPProblem",
     "HDSDPSolver",
+    "solve_batch",
     "solve_sdpa_file",
 ]

@@ -828,7 +828,8 @@ def _phase_a_body(c: Cones, p: Pars, reset_rd, st: State,
 
 
 def make_phase_a(corrector_a: int, max_iter: int,
-                 allow_reset: bool, whole_phase: bool = True):
+                 allow_reset: bool, whole_phase: bool = True,
+                 raw: bool = False):
     """Build the fused Phase-A program.
 
     The problem data (Cones), tolerances (Pars) and the reset residual are
@@ -863,6 +864,8 @@ def make_phase_a(corrector_a: int, max_iter: int,
         )
         return st
 
+    if raw:  # un-jitted, for vmap composition (solver.batch)
+        return run
     return jax.jit(run, donate_argnums=(0,))
 
 
@@ -1316,7 +1319,8 @@ def phase_b_init_extras():
 
 
 def make_phase_b(corrector_b: int, max_iter: int,
-                 psdp_eligible: bool, whole_phase: bool = True):
+                 psdp_eligible: bool, whole_phase: bool = True,
+                 raw: bool = False):
     if not whole_phase:
         def body(st_ex, c, p):
             return _phase_b_iteration(c, p, st_ex, corrector_b, psdp_eligible)
@@ -1339,6 +1343,8 @@ def make_phase_b(corrector_b: int, max_iter: int,
         )
         return st
 
+    if raw:  # un-jitted, for vmap composition (solver.batch)
+        return run
     return jax.jit(run, donate_argnums=(0,))
 
 
