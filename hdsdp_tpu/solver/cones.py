@@ -229,10 +229,14 @@ class ConeSystem:
     def __init__(self, prob: SDPProblem, obj_scal: float = 1.0, dtype=jnp.float64,
                  layout: str = "auto"):
         """layout: "auto" stores single-block groups slot-major (the
-        large-m path, see GroupArrays); "flat" forces the packed-slot
-        layout (used by the sharded system, which partitions the R axis)."""
+        large-m path, see GroupArrays) with the diag/support gather
+        specializations; "slot" keeps slot-major but disables the
+        specializations (cross-validation paths); "flat" forces the
+        packed-slot layout (used by the sharded system, which
+        partitions the R axis)."""
         self.m = prob.m
         self.dtype = dtype
+        specialize = layout == "auto"
 
         def _slot_major(g):
             """Slot-major low-rank layout for single-block groups (see
@@ -264,7 +268,9 @@ class ConeSystem:
             dpos = dw = None
             spos = sval = None
             nnz_rows = np.count_nonzero(Fs, axis=2)  # [r, m]
-            if r == 1 and np.all(nnz_rows[0] <= 1):
+            if not specialize:
+                pass
+            elif r == 1 and np.all(nnz_rows[0] <= 1):
                 p = np.argmax(np.abs(Fs[0]), axis=1)
                 v = Fs[0][np.arange(m), p]
                 dpos = jnp.asarray(p, jnp.int32)
@@ -301,6 +307,12 @@ class ConeSystem:
                     "unrolled-term compile budget (%d); using slot-major",
                     r, int(nnz_rows.max(initial=1)), SUPPORT_TERM_BUDGET,
                 )
+            if dpos is not None or spos is not None:
+                # gather buckets never read Fs's DATA, only its shape
+                # (ops.schur dispatches on dpos/spos first); a [r, 1, n]
+                # placeholder keeps the shape contract without shipping
+                # an r*m*n f64 argument (0.9 GB at torus-22) per dispatch
+                Fs = np.zeros((Fs.shape[0], 1, g.dim))
             return (
                 jnp.asarray(Fs, dtype),
                 jnp.asarray(lams, dtype),
@@ -317,7 +329,7 @@ class ConeSystem:
                 didx=jnp.asarray(g.didx, jnp.int32),
                 dblk=jnp.asarray(g.dblk, jnp.int32),
             )
-            if g.nblk == 1 and layout == "auto":
+            if g.nblk == 1 and layout in ("auto", "slot"):
                 Fs, lams, dpos, dw, spos, sval = _slot_major(g)
                 return GroupArrays(
                     F=jnp.zeros((1, 1, g.dim), dtype),

@@ -1723,6 +1723,17 @@ def _print_fused_log(ipm, st: State, method: str, start_iter: int):
             )
 
 
+def _compile_notice(ipm, phase: str):
+    """First dispatch at a new shape JIT-compiles the whole phase body
+    (minutes at large m — NOTES.md measured 275-440 s per body at
+    m=1024); say so instead of looking hung.  The persistent cache
+    (JAX_COMPILATION_CACHE_DIR) makes later runs instant."""
+    ipm.log.info(
+        f"Building fused phase-{phase} program for this shape "
+        "(cold XLA compile; can take minutes at large m, cached after)"
+    )
+
+
 def _run_hsd_fused(ipm, c: Cones, d_only: bool, whole: bool = True):
     """Fused counterpart of algo.hsd_solve (ref hdsdp_algo.c:355-546)."""
     from hdsdp_tpu.solver import algo
@@ -1751,6 +1762,7 @@ def _run_hsd_fused(ipm, c: Cones, d_only: bool, whole: bool = True):
     )
     key = _cache_key(ipm, "hsd", (p.max_iter, whole))
     if key not in _PROGRAM_CACHE:
+        _compile_notice(ipm, "A' (HSD)")
         _PROGRAM_CACHE[key] = make_hsd(p.max_iter, whole_phase=whole)
     prog = _PROGRAM_CACHE[key]
     st = _state_from_ipm(ipm)
@@ -1866,6 +1878,7 @@ def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
 
     key = _cache_key(ipm, "a", (p.corrector_a, p.max_iter, allow_reset, whole))
     if key not in _PROGRAM_CACHE:
+        _compile_notice(ipm, "A")
         _PROGRAM_CACHE[key] = make_phase_a(
             p.corrector_a, p.max_iter, allow_reset, whole_phase=whole
         )
@@ -1911,6 +1924,7 @@ def solve_fused(ipm, d_only: bool = False, mode: str = "phase"):
             ipm, "b", (p.corrector_b, p.max_iter, psdp_eligible, whole)
         )
         if key not in _PROGRAM_CACHE:
+            _compile_notice(ipm, "B")
             _PROGRAM_CACHE[key] = make_phase_b(
                 p.corrector_b, p.max_iter, psdp_eligible, whole_phase=whole
             )

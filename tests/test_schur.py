@@ -272,9 +272,10 @@ def test_slot_schur_hp_matches_f64():
     data = theta_sdpa(n=40, n_edges=120, seed=3)
     prob = SDPProblem.from_sdpa(data)
     cones = ConeSystem(prob)
-    # strip the bounded-support shortcut so the hp matmul path is the
-    # one under test
-    ga = cones.groups[0]._replace(spos=None, sval=None)
+    # slot layout (no bounded-support shortcut) so the hp matmul path
+    # is the one under test; Fs in the specialized layout is a
+    # shape-only placeholder now
+    ga = ConeSystem(prob, layout="slot").groups[0]
     assert ga.Fs is not None  # slot-major layout
 
     rng = np.random.default_rng(0)
@@ -316,7 +317,7 @@ def test_group_dual_hp_matches_f64():
     data = theta_sdpa(n=40, n_edges=120, seed=3)
     prob = SDPProblem.from_sdpa(data)
     cones = ConeSystem(prob)
-    ga = cones.groups[0]._replace(spos=None, sval=None)  # force hp path
+    ga = ConeSystem(prob, layout="slot").groups[0]  # force hp path
     rng = np.random.default_rng(5)
     y = jnp.asarray(rng.standard_normal(prob.m))
     S0 = schur_ops.group_dual(ga, -1.0, -1.0, y, 2.0, hp=False)
@@ -352,7 +353,7 @@ def test_diag_bucket_matches_slot_path():
     cones = ConeSystem(prob)
     ga = cones.groups[0]
     assert ga.dpos is not None  # the diag bucket must engage on maxcut
-    ga_slot = ga._replace(dpos=None, dw=None)
+    ga_slot = ConeSystem(prob, layout="slot").groups[0]
 
     rng = np.random.default_rng(2)
     n = ga.Fs.shape[2]
@@ -397,7 +398,7 @@ def test_support_bucket_matches_slot_path():
     cones = ConeSystem(prob)
     ga = cones.groups[0]
     assert ga.spos is not None  # support bucket must engage on theta
-    ga_slot = ga._replace(spos=None, sval=None)
+    ga_slot = ConeSystem(prob, layout="slot").groups[0]
 
     rng = np.random.default_rng(2)
     n = ga.Fs.shape[2]
