@@ -418,8 +418,9 @@ class RowShardedConeSystem(ConeSystem):
         self.ndev = int(np.prod(mesh.devices.shape))
         m = self.m
 
-        s_con3 = NamedSharding(mesh, P(None, self.axis, None))  # Fs
+        s_con3 = NamedSharding(mesh, P(None, self.axis, None))  # Fs/spos
         s_con2 = NamedSharding(mesh, P(None, self.axis))  # lams
+        s_con1 = NamedSharding(mesh, P(self.axis))  # dpos/dw
         repl = NamedSharding(mesh, P())
         self._m_shard = NamedSharding(mesh, P(self.axis, None))
 
@@ -440,14 +441,25 @@ class RowShardedConeSystem(ConeSystem):
         # pads/slices the m-vectors it exchanges with the KKT system.
         self.m_pad = -(-m // self.ndev) * self.ndev
 
+        def _constrain(ga: GroupArrays) -> GroupArrays:
+            # shard every CONSTRAINT-indexed array over the row axis so
+            # GSPMD partitions the per-row build (matmul, diag-gather,
+            # or support-gather alike) instead of replicating it: each
+            # bucket kernel's output rows follow its index arrays
+            wsc = jax.lax.with_sharding_constraint
+            rep = {"lams": wsc(ga.lams, s_con2)}
+            if ga.Fs.shape[1] > 1:  # [r,1,n] = shape-only placeholder
+                rep["Fs"] = wsc(ga.Fs, s_con3)
+            if ga.spos is not None:
+                rep["spos"] = wsc(ga.spos, s_con3)
+                rep["sval"] = wsc(ga.sval, s_con3)
+            if ga.dpos is not None:
+                rep["dpos"] = wsc(ga.dpos, s_con1)
+                rep["dw"] = wsc(ga.dw, s_con1)
+            return ga._replace(**rep)
+
         def _build(groups, lp, L, s_lp, Rd, kind: str):
-            groups = tuple(
-                ga._replace(
-                    Fs=jax.lax.with_sharding_constraint(ga.Fs, s_con3),
-                    lams=jax.lax.with_sharding_constraint(ga.lams, s_con2),
-                )
-                for ga in groups
-            )
+            groups = tuple(_constrain(ga) for ga in groups)
             out = _build_kkt(groups, lp, L, s_lp, Rd, m=m, kind=kind)
             if out.M is not None:
                 pad = self.m_pad - m
