@@ -1,0 +1,60 @@
+"""One-shot torus-22 (m = n = 10648) TPU driver: single solve, peak-HBM
+report.  The fused iter-mode phase-B program exceeds HBM at this size
+(see NOTES round-3 log); the host loop releases buffers between ops."""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+
+from hdsdp_tpu.models.problem import SDPProblem
+from hdsdp_tpu.models.synthetic import torus_sdpa
+from hdsdp_tpu.solver.solver import HDSDPSolver
+
+name = sys.argv[1] if len(sys.argv) > 1 else "toruspm3-22"
+overrides = {}
+for arg in sys.argv[2:]:
+    k, v = arg.split("=")
+    overrides[k] = json.loads(v)
+
+t0 = time.time()
+data = torus_sdpa(side=22)
+prob = SDPProblem.from_sdpa(data)
+print(f"[{name}] m={prob.m} n={max(prob.block_dims)} presolve "
+      f"{time.time() - t0:.1f}s", flush=True)
+
+t0 = time.time()
+solver = HDSDPSolver(prob, fused=False, **overrides)
+r = solver.optimize()
+t = time.time() - t0
+
+peak = None
+try:
+    stats = jax.devices()[0].memory_stats()
+    peak = stats.get("peak_bytes_in_use")
+except Exception:
+    pass
+
+print(json.dumps({
+    "instance": name,
+    "m": prob.m,
+    "n": int(max(prob.block_dims)),
+    "status": r.status,
+    "d_obj": r.d_obj,
+    "iters": r.n_iters,
+    "wall_s": round(t, 2),
+    "s_per_iter": round(t / max(r.n_iters, 1), 3),
+    "dimacs_max": float(np.max(np.abs(r.dimacs))),
+    "peak_hbm_gb": round(peak / 2**30, 2) if peak else None,
+}), flush=True)

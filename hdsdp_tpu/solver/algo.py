@@ -97,6 +97,15 @@ class DualIPM:
         self.cones.cone_dd = self._use_cone_dd(prob)
         self.cones.kkt_hp = self._use_kkt_hp()
         self.cones.dual_hp = self._use_dual_hp()
+        # matrix-free Schur operator (sparse-Schur analogue, ref
+        # hdsdp_schur.c:60,227): M never materializes; solves are
+        # Jacobi-PCG on M v = A(S^-1 (sum_j v_j A_j) S^-1)
+        self.kkt_free = self._use_kkt_free()
+        self._op_Us = None  # frozen S^-1 per group (solve operator)
+        self._op_slp = None  # frozen LP slack at the full build
+        self._op_bound = None  # bound-cone diagonal [m]
+        self._op_diag = None  # exact diag(M) incl. bound
+        self._op_reg = 0.0
         self.b = jnp.asarray(prob.b * self.rhs_scal, self.dtype)
 
         # bound cone box (ref hdsdp.c:675-690)
@@ -282,6 +291,8 @@ class DualIPM:
         kind: "inf" | "hsd" | "corr" (ref KKT_TYPE_*, hdsdp_conic.h:16-19).
         """
         self._factor_stats["n_kkt"] += 1
+        if self.kkt_free:
+            return self._build_kkt_operator(kind)
         kkt = self.cones.build_kkt(self.L, self.s_lp, self.Rd, kind)
         asinv = kkt.asinv
         M = kkt.M
@@ -301,8 +312,42 @@ class DualIPM:
         self.kkt = kkt._replace(M=M, asinv=asinv)
         return self.kkt
 
+    def _build_kkt_operator(self, kind: str):
+        """Matrix-free KKT build: RHS vectors + frozen solve operator.
+
+        A full build ("inf"/"hsd") refreshes the operator state (S^-1
+        per group, LP slack, bound diagonal, exact Jacobi diag); a
+        corrector build refreshes the RHS only and keeps solving against
+        the previously frozen operator — exactly the reference's
+        reuse-the-factorized-M corrector semantics
+        (ref HKKTBuildUp KKT_TYPE_CORRECTOR, hdsdp_schur.c:256-268)."""
+        Us = self.cones.inverses(self.L)
+        kkt = self.cones.build_kkt_rhs(Us, self.s_lp, self.Rd, kind)
+        asinv = kkt.asinv
+        bound = jnp.zeros((self.m,), self.dtype)
+        if self.which_method != "hsd":
+            li = 1.0 / self.sl
+            ui = 1.0 / self.su
+            asinv = asinv + ui - li
+            bound = li * li + ui * ui
+        if kind != "corr":
+            self._op_Us = Us
+            self._op_slp = self.s_lp
+            self._op_bound = bound
+            self._op_reg = 0.0
+            self._op_diag = self.cones.kkt_diag(Us, self.s_lp) + bound
+        self.kkt = kkt._replace(asinv=asinv)
+        return self.kkt
+
     def regularize_kkt(self, reg_coef: float):
         """ref HKKTRegularize (hdsdp_schur.c:348-373)."""
+        if self.kkt_free:
+            if self._op_diag is None:
+                return
+            min_diag = float(jnp.min(self._op_diag))
+            reg = min(reg_coef * min_diag, 1e-05)
+            self._op_reg = reg if reg >= 1e-14 else 0.0
+            return
         if self.kkt.M is None:
             return
         min_diag = float(jnp.min(jnp.diag(self.kkt.M)[: self.m]))
@@ -361,6 +406,19 @@ class DualIPM:
                 r, m_, n = ga.Fs.shape
                 work += 2.0 * r * m_ * n * n
         return work >= 1e11
+
+    def _use_kkt_free(self) -> bool:
+        """Matrix-free Schur operator gate: engages where a dense m x m M
+        would crowd the device (the analogue of the reference's sparse-
+        Schur storage decision, hdsdp_schur.c:60,227 — there by pattern
+        density, here by absolute size: the aggregated pattern's density
+        no longer matters when M is never stored)."""
+        mode = self.params.kkt_mode
+        if mode == "free":
+            return True
+        if mode != "auto" or self.mesh is not None:
+            return False
+        return self.m >= self.params.kkt_free_threshold
 
     def _use_dd(self) -> bool:
         """DD (MXU double-single) arithmetic for the Schur factorization.
@@ -427,6 +485,11 @@ class DualIPM:
         performs ~100 solves against it, ref hdsdp_psdp.c:203-207 —
         exact solves there decide the refinement step quality)."""
         self._factor_stats["n_factor"] += 1
+        if self.kkt_free:
+            # nothing to factor: solves run Jacobi-PCG on the frozen
+            # operator state (see _build_kkt_operator)
+            self.Mfac = ("opcg", None)
+            return
         M = self.kkt.M
         use_cg = not force_direct and (
             self.params.kkt_solver == "cg"
@@ -465,9 +528,29 @@ class DualIPM:
             return
         self._direct_factor(M)
 
+    def _op_solve(self, B: jnp.ndarray):
+        """Jacobi-PCG solve of M X = B on the matrix-free operator."""
+        extra = self._op_bound + self._op_reg
+        diag = self._op_diag + self._op_reg
+        pinv = 1.0 / jnp.maximum(diag, 1e-300)
+        X, res, n_it = self.cones.kkt_pcg(
+            self._op_Us, self._op_slp, extra, pinv, B,
+            abs_tol=1e-10, rel_tol=1e-10,
+            max_iter=self.params.kkt_free_maxiter,
+        )
+        self._factor_stats["opcg_iters"] = (
+            self._factor_stats.get("opcg_iters", 0) + int(n_it)
+        )
+        worst = float(jnp.max(res / jnp.maximum(jnp.linalg.norm(B, axis=0), 1.0)))
+        if worst > 1e-06:
+            self.log.info(f"operator CG stalled: rel residual {worst:.2e}")
+        return X
+
     def solve_kkt(self, rhs: jnp.ndarray) -> jnp.ndarray:
         self._factor_stats["n_solve"] += 1
         kind, fac = self.Mfac
+        if kind == "opcg":
+            return self._op_solve(rhs[:, None])[:, 0]
         if kind == "chol":
             return chol_ops.chol_solve(fac, rhs)
         if kind == "ddchol":
@@ -501,6 +584,10 @@ class DualIPM:
     def solve_kkt_multi(self, rhs_list):
         """Batch several right-hand sides into one dispatch."""
         kind, fac = self.Mfac
+        if kind == "opcg":
+            self._factor_stats["n_solve"] += len(rhs_list)
+            X = self._op_solve(jnp.stack(rhs_list, axis=1))
+            return [X[:, i] for i in range(len(rhs_list))]
         if kind == "shchol":
             from hdsdp_tpu.parallel.dchol import sharded_chol_solve
 
@@ -1045,7 +1132,11 @@ class DualIPM:
         force_detect = True
         n_internal = 0
         p_obj_start = self.p_obj_internal
-        use_psdp = p.psdp
+        # PSDP materializes a dense X-weighted M (factor-once/solve-many,
+        # ref hdsdp_psdp.c:203-207); in operator mode that matrix cannot
+        # exist, so refinement is skipped (the dual phases alone carry
+        # the solve to tolerance, as in the reference's PSDP-fail path)
+        use_psdp = p.psdp and not self.kkt_free
 
         self.log.header("potential")
 
@@ -1347,6 +1438,9 @@ class DualIPM:
                 fused = "phase" if small else "iter"
         elif fused is True:
             fused = "phase"
+        if self.kkt_free and fused:
+            # the fused programs materialize M; operator mode is host-only
+            fused = False
         try:
             if fused:
                 from hdsdp_tpu.solver.fused import solve_fused

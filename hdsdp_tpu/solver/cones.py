@@ -137,6 +137,136 @@ def _build_kkt(groups, lp, L, s_lp, Rd, m: int, kind: str, hp: bool = False) -> 
     )
 
 
+@partial(jax.jit, static_argnames=("hp",))
+def _inverses(L, hp: bool = False):
+    """U = S^-1 per group from the Cholesky factors (one dispatch)."""
+    return tuple(chol_ops.chol_inverse(Lg, use_dd=hp) for Lg in L)
+
+
+@partial(jax.jit, static_argnames=("m", "kind"))
+def _build_kkt_rhs(groups, lp, Us, s_lp, Rd, m: int, kind: str) -> KKTOut:
+    """RHS-only KKT build from precomputed inverses: the matrix-free
+    analogue of _build_kkt (M stays None; ≙ the reference's sparse-Schur
+    decision at hdsdp_schur.c:60,227 — here M is never materialized)."""
+    dtype = Us[0].dtype if Us else s_lp.dtype
+    asinv = jnp.zeros((m,), dtype)
+    trsas = jnp.zeros((m,), dtype)
+    tr_u = jnp.zeros((), dtype)
+    asinvcsinv = jnp.zeros((m,), dtype) if kind == "hsd" else None
+    csinv = jnp.zeros((), dtype)
+    csinvcsinv = jnp.zeros((), dtype)
+    csinvrdsinv = jnp.zeros((), dtype)
+
+    for ga, U in zip(groups, Us):
+        out = schur_ops.group_schur(ga, U, m, with_m=False)
+        asinv = asinv + out.asinv
+        trsas = trsas + out.trSAS
+        tr_u = tr_u + out.trU
+        if kind == "hsd":
+            h = schur_ops.group_hsd(ga, U, m)
+            asinvcsinv = asinvcsinv + h.asinvcsinv
+            csinv = csinv + h.csinv
+            csinvcsinv = csinvcsinv + h.csinvcsinv
+            csinvrdsinv = csinvrdsinv + Rd * h.trUCU
+
+    if lp is not None:
+        out = schur_ops.lp_schur(lp, s_lp, m, with_m=False)
+        asinv = asinv + out.asinv
+        trsas = trsas + out.trSAS
+        tr_u = tr_u + out.trU
+        if kind == "hsd":
+            h = schur_ops.lp_hsd(lp, s_lp, m)
+            asinvcsinv = asinvcsinv + h.asinvcsinv
+            csinv = csinv + h.csinv
+            csinvcsinv = csinvcsinv + h.csinvcsinv
+
+    return KKTOut(
+        M=None,
+        asinv=asinv,
+        asinvrdsinv=Rd * trsas,
+        asinvcsinv=asinvcsinv,
+        csinv=csinv,
+        csinvcsinv=csinvcsinv,
+        csinvrdsinv=csinvrdsinv,
+        trace_sinv=tr_u,
+    )
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _kkt_diag(groups, lp, Us, s_lp, m: int):
+    """Exact diag(M) for the Jacobi preconditioner of the operator path."""
+    dtype = Us[0].dtype if Us else s_lp.dtype
+    d = jnp.zeros((m,), dtype)
+    for ga, U in zip(groups, Us):
+        d = d + schur_ops.group_schur_diag(ga, U, m)
+    if lp is not None:
+        d = d + schur_ops.lp_schur_diag(lp, s_lp)
+    return d
+
+
+def _kkt_apply(groups, lp, Us, s_lp, extra_diag, V, m):
+    """M @ V for [m, k] V through the per-bucket operators.
+    extra_diag [m] carries the bound-cone diagonal + regularization."""
+
+    def one(v):
+        out = extra_diag * v
+        for ga, U in zip(groups, Us):
+            out = out + schur_ops.group_schur_matvec(ga, U, v, m)
+        if lp is not None:
+            out = out + schur_ops.lp_schur_matvec(lp, s_lp, v)
+        return out
+
+    return jax.vmap(one, in_axes=1, out_axes=1)(V)
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _kkt_matvec(groups, lp, Us, s_lp, extra_diag, V, m: int):
+    return _kkt_apply(groups, lp, Us, s_lp, extra_diag, V, m)
+
+
+@partial(jax.jit, static_argnames=("m", "max_iter"))
+def _kkt_pcg(groups, lp, Us, s_lp, extra_diag, pinv, B, m: int,
+             abs_tol: float, rel_tol: float, max_iter: int):
+    """Jacobi-preconditioned CG on the matrix-free Schur operator, k
+    independent right-hand sides per dispatch (per-column recurrences;
+    ≙ conjGradSolve, ref hdsdp_linsolver.c:1446-1588, with the Jacobi
+    preconditioner branch — the Cholesky branch has no matrix to factor
+    here).  Returns (X, resnorm [k], n_iters)."""
+
+    def mv(V):
+        return _kkt_apply(groups, lp, Us, s_lp, extra_diag, V, m)
+
+    bnorm = jnp.linalg.norm(B, axis=0)
+    tol = jnp.maximum(abs_tol, rel_tol * bnorm)
+    X = jnp.zeros_like(B)
+    R = B
+    Z = pinv[:, None] * R
+    P = Z
+    rz = jnp.sum(R * Z, axis=0)
+
+    def cond(c):
+        X, R, P, rz, it = c
+        res = jnp.linalg.norm(R, axis=0)
+        return jnp.logical_and(it < max_iter, jnp.any(res > tol))
+
+    def body(c):
+        X, R, P, rz, it = c
+        live = (jnp.linalg.norm(R, axis=0) > tol).astype(B.dtype)
+        Q = mv(P)
+        pq = jnp.sum(P * Q, axis=0)
+        alpha = jnp.where(pq > 0, rz / jnp.where(pq == 0, 1.0, pq), 0.0) * live
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * Q
+        Z = pinv[:, None] * R
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        P = Z + beta[None, :] * P
+        return X, R, P, rz_new, it + 1
+
+    X, R, P, rz, it = jax.lax.while_loop(cond, body, (X, R, P, rz, 0))
+    return X, jnp.linalg.norm(R, axis=0), it
+
+
 @partial(jax.jit, static_argnames=("mode", "krylov"))
 def _ratio(L, s_lp, dS, ds_lp, mode: str = "auto", krylov: int = 30):
     step = jnp.asarray(INF, L[0].dtype if L else jnp.float64)
@@ -402,6 +532,33 @@ class ConeSystem:
         """kind in {"inf", "hsd", "corr"} ~ KKT_TYPE_* (ref hdsdp_conic.h:16-19)."""
         return _build_kkt(
             self.groups, self.lp, L, s_lp, Rd, self.m, kind, hp=self.kkt_hp
+        )
+
+    # -- matrix-free Schur operator (sparse-Schur analogue) ---------------
+    def inverses(self, L):
+        """U = S^-1 per group (cached by the solver across one KKT round)."""
+        return _inverses(L, hp=self.kkt_hp)
+
+    def build_kkt_rhs(self, Us, s_lp, Rd, kind: str) -> KKTOut:
+        """KKT RHS vectors only, M never materialized (operator mode)."""
+        return _build_kkt_rhs(self.groups, self.lp, Us, s_lp, Rd, self.m, kind)
+
+    def kkt_diag(self, Us, s_lp):
+        """Exact diag(M) — the Jacobi preconditioner of the operator mode."""
+        return _kkt_diag(self.groups, self.lp, Us, s_lp, self.m)
+
+    def kkt_matvec(self, Us, s_lp, extra_diag, V):
+        """M @ V ([m, k]) through the per-bucket operators."""
+        return _kkt_matvec(
+            self.groups, self.lp, Us, s_lp, extra_diag, V, self.m
+        )
+
+    def kkt_pcg(self, Us, s_lp, extra_diag, pinv, B, abs_tol=1e-10,
+                rel_tol=1e-10, max_iter=600):
+        """Jacobi-PCG solve of M X = B on the operator; one dispatch."""
+        return _kkt_pcg(
+            self.groups, self.lp, Us, s_lp, extra_diag, pinv, B, self.m,
+            abs_tol, rel_tol, max_iter,
         )
 
     # -- ratio test --------------------------------------------------------

@@ -69,6 +69,16 @@ class Params:
     # path factors directly)
     kkt_solver: str = "auto"
     kkt_cg_threshold: int = 4096
+    # Matrix-free Schur operator (the sparse-Schur-storage analogue,
+    # ref hdsdp_schur.c:60,227): "free" never materializes the m x m M —
+    # CG solves apply M v = A(S^-1 (sum_j v_j A_j) S^-1) per bucket with
+    # an exact Jacobi diagonal as preconditioner, O(m + n^2) memory.
+    # "auto" engages above kkt_free_threshold rows (where dense M would
+    # crowd a 16 GB device); "dense" forces materialization.  Host loop
+    # only; PSDP is skipped in operator mode (its KKT is dense-only).
+    kkt_mode: str = "auto"
+    kkt_free_threshold: int = 20000
+    kkt_free_maxiter: int = 600
     # Arithmetic for the direct Schur factorization: "xla" — XLA's
     # emulated-f64 Cholesky (VPU, ~0.02 Tflop/s); "dd" — double-single
     # blocked Cholesky on the MXU (ops.ddchol, ~2^-45 accuracy, matches
