@@ -2,10 +2,15 @@
 report.  The fused iter-mode phase-B program exceeds HBM at this size
 (see NOTES round-3 log); the host loop releases buffers between ops."""
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
+faulthandler.dump_traceback_later(1800, repeat=True)  # heartbeat on hangs
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -70,9 +70,20 @@ def chol_inverse(L: jnp.ndarray, use_dd: bool = False) -> jnp.ndarray:
 
     ``use_dd`` routes single large blocks through the DD (MXU) blocked
     inverse built from the existing f64 factor — the emulated-f64
-    trisolve-on-identity is the dominant per-build cost at n >= ~2048."""
+    trisolve-on-identity is the dominant per-build cost at n >= ~2048.
+
+    At n >= 8192 on TPU the routing is forced regardless of ``use_dd``:
+    XLA's triangular-solve expander cannot compile an n-RHS inversion at
+    that size at all (it wedges the backend; observed on torus-22
+    primal recovery, n = 10648), so the trisolve path is never emitted
+    there."""
     n = L.shape[-1]
-    if use_dd and L.ndim == 3 and L.shape[0] == 1 and n >= 512:
+    force_dd = False
+    if not use_dd and L.ndim == 3 and L.shape[0] == 1 and n >= 8192:
+        from hdsdp_tpu.utils.platform import is_tpu
+
+        force_dd = is_tpu()
+    if (use_dd or force_dd) and L.ndim == 3 and L.shape[0] == 1 and n >= 512:
         from hdsdp_tpu.ops import ddchol
 
         return ddchol.spd_inverse_from_f64_tri(L[0])[None]
