@@ -528,6 +528,25 @@ class DualIPM:
             return
         self._direct_factor(M)
 
+    def release_solve_buffers(self) -> None:
+        """Drop per-iteration device buffers before the final DIMACS
+        check.  At torus-22 scale (m = n = 10648) the held S / L /
+        checker / step / Schur buffers total ~6 GB and the recovery
+        program's runtime peak no longer fits beside them (observed
+        ResourceExhausted); everything the check and the public API need
+        is recomputed from (y, makers, cone data)."""
+        self.S = self.s_lp = self.L = None
+        self.Schk = self.s_lp_chk = self.Lchk = None
+        self.dS = self.ds_lp = None
+        self.kkt = None
+        self.Mfac = None
+        self.d1 = self.d2 = self.d3 = self.d4 = None
+        self._op_Us = self._op_diag = self._op_bound = self._op_slp = None
+        if hasattr(self, "_cg"):
+            del self._cg
+        if hasattr(self.cones, "_lz_warm"):
+            self.cones._lz_warm = None
+
     def _op_solve(self, B: jnp.ndarray):
         """Jacobi-PCG solve of M X = B on the matrix-free operator."""
         extra = self._op_bound + self._op_reg

@@ -30,6 +30,81 @@ from hdsdp_tpu.solver.cones import _assemble, _atx, _ctx, _factor
 # exact (emulated, slow) f64 eigh to f32 eigh + f64 Rayleigh refinement
 _EXACT_EIG_DIM = 384
 
+# above this block dimension even the f32 eigh is ruled out: XLA's QDWH
+# expansion holds ~20 O(n^2) f32 temps live and the DIMACS program
+# compile-OOMs (observed 22.07G/15.75G at torus-22, n = 10648).  The
+# minimum eigenvalue is instead estimated by a reorthogonalized Lanczos
+# sweep on -X + one f64 Rayleigh quotient — the extreme-eigenvalue
+# machinery the reference itself uses for step lengths
+# (ref linalg/hdsdp_lanczos.c:161-292), here pointed at the PSD check.
+_LANCZOS_EIG_DIM = 8192
+
+
+def _lanczos_min_one(X: jnp.ndarray, krylov: int = 64,
+                     restarts: int = 3) -> jnp.ndarray:
+    """lambda_min estimate of one symmetric [n, n] block: restarted
+    Lanczos on -X (full reorthogonalization, v0 = previous Ritz vector)
+    + f64 Rayleigh quotient.  O(r k n^2) flops, O(k n) memory — no dense
+    eig at any n.  Resolves lambda_min to ~1e-4 ||X|| even on clustered
+    bottoms — well inside the 1e-2 DIMACS acceptance gate the value
+    feeds (ref hdsdp.c:905-921); isolated negative directions converge
+    to full precision."""
+    n = X.shape[-1]
+
+    def sweep(v):
+        V = jnp.zeros((krylov + 1, n), X.dtype).at[0].set(v)
+        alpha = jnp.zeros((krylov,), X.dtype)
+        beta = jnp.zeros((krylov,), X.dtype)
+
+        def body(i, c):
+            V, alpha, beta = c
+            vi = V[i]
+            w = -(X @ vi)
+            a = vi @ w
+            w = w - a * vi
+            # full reorth against the built basis (rows > i are 0)
+            w = w - V.T @ (V @ w)
+            b = jnp.linalg.norm(w)
+            V = V.at[i + 1].set(jnp.where(b > 1e-300, w / b, 0.0))
+            return V, alpha.at[i].set(a), beta.at[i].set(b)
+
+        V, alpha, beta = jax.lax.fori_loop(0, krylov, body, (V, alpha, beta))
+        T = (
+            jnp.diag(alpha)
+            + jnp.diag(beta[:-1], 1)
+            + jnp.diag(beta[:-1], -1)
+        )
+        _, evecs = jnp.linalg.eigh(T)
+        u = V[:krylov].T @ evecs[:, -1]  # Ritz vector of lambda_max(-X)
+        return u / jnp.linalg.norm(u)
+
+    v = jax.random.normal(jax.random.PRNGKey(7), (n,), X.dtype)
+    u = v / jnp.linalg.norm(v)
+    for _ in range(restarts):
+        u = sweep(u)
+    return u @ (X @ u)
+
+
+def _uwu(U: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
+    """Recovery congruence U W U per block [g, n, n].
+
+    At n >= 8192 on TPU the f64 einsum's dot-emulation expands each
+    operand to f32[8, n, n] temps (3.4 GB at torus-22) and the DIMACS
+    program compile-OOMs; the Ozaki-sliced bf16 MXU matmul (ops.hpmm,
+    ~2^-45 relative — orders below the 1e-2 DIMACS gate) keeps the
+    peak at two bf16 slice sets instead."""
+    n = U.shape[-1]
+    big = U.ndim == 3 and U.shape[0] == 1 and n >= 8192
+    if big:
+        from hdsdp_tpu.utils.platform import is_tpu
+
+        if is_tpu():
+            from hdsdp_tpu.ops import hpmm
+
+            T = hpmm.hpmm(U[0], W[0])
+            return hpmm.hpmm(T, U[0])[None]
+    return jnp.einsum("gij,gjk,gkl->gil", U, W, U, optimize=True)
+
 
 def _batch_min_eval(Xg: jnp.ndarray) -> jnp.ndarray:
     """Min eigenvalue over a [g, n, n] symmetric block batch.
@@ -46,6 +121,8 @@ def _batch_min_eval(Xg: jnp.ndarray) -> jnp.ndarray:
     n = Xg.shape[-1]
     if n < _EXACT_EIG_DIM or Xg.dtype != jnp.float64:
         return jnp.min(jnp.linalg.eigvalsh(Xg))
+    if n >= _LANCZOS_EIG_DIM:
+        return jnp.min(jax.vmap(_lanczos_min_one)(Xg))
     _, V = jnp.linalg.eigh(Xg.astype(jnp.float32))
     v = V[..., :, 0].astype(Xg.dtype)
     v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
@@ -67,7 +144,7 @@ def recover_primal(ipm, maker) -> Optional[Tuple[List[jnp.ndarray], Optional[jnp
     X_list = []
     for Lg, Wg in zip(Lbar, W):
         U = chol_ops.chol_inverse(Lg)
-        X = maker.mu * (U + jnp.einsum("gij,gjk,gkl->gil", U, Wg, U))
+        X = maker.mu * (U + _uwu(U, Wg))
         X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
         X_list.append(X)
 
@@ -91,7 +168,7 @@ def _dimacs_kernel(groups, lp, b, y, Rd, perturb, mk_mu, mk_y, mk_dy, m: int):
     X_list = []
     for Lg, Wg in zip(Lbar, W):
         U = chol_ops.chol_inverse(Lg)
-        X = mk_mu * (U + jnp.einsum("gij,gjk,gkl->gil", U, Wg, U))
+        X = mk_mu * (U + _uwu(U, Wg))
         X_list.append(0.5 * (X + jnp.swapaxes(X, -1, -2)))
     x_lp = (
         mk_mu * (sbar_lp + w_lp) / (sbar_lp * sbar_lp)
@@ -133,6 +210,11 @@ def check_solution(ipm) -> np.ndarray:
     if ipm.maker_acc.mu <= 0.0 and ipm.maker_inacc.mu <= 0.0:
         ipm.status = algo.NUMERICAL
         return errs
+
+    # the check recomputes everything from (y, makers, cone data); at
+    # torus-22 scale the retained solve buffers would not fit beside
+    # the recovery program's runtime peak
+    ipm.release_solve_buffers()
 
     use_acc = ipm.maker_acc.mu > 0.0
 
