@@ -70,23 +70,32 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # maxG55 (n = m = 5000): sdpasolve optimization time 2931.9 s (total
 # 3070.0 s), dObj -1.3466413695e+03, DIMACS max 5.81e-09 (2026-08-19,
 # 1 BLAS thread, byte-identical /tmp/maxG55_synth.dat-s via write_sdpa).
+# toruspm3-22 (n = m = 10648): sdpasolve optimization time 22274.8 s
+# (total 23274.5 s), dObj -2.7298678860e+03, DIMACS max 1.87e-09
+# (2026-08-19, byte-identical /tmp/torus22_synth.dat-s; full log
+# /tmp/torus22_ref_long.log).  Ours runs psdp=0 there: the PSDP
+# contraction floor (1 - 1/sqrt(n)) is useless at n = 10648 and its
+# X-side machinery doubles peak HBM.
 CASES = {
-    # name: (n, baseline_s, golden_dObj)
-    "maxG51": (1000, 23.7, -261.4270223),
-    "maxG55": (5000, 2931.9, -1346.6413695),
+    # name: (family, gen_kwargs, baseline_s, golden_dObj, overrides)
+    "maxG51": ("maxcut", dict(n=1000), 23.7, -261.4270223, {}),
+    "maxG55": ("maxcut", dict(n=5000), 2931.9, -1346.6413695, {}),
+    "torus22": ("torus", dict(side=22), 22274.8, -2729.8678860,
+                dict(psdp=0)),
 }
 
 
 def _bench_case(name: str):
     from hdsdp_tpu.models.problem import SDPProblem
-    from hdsdp_tpu.models.synthetic import maxcut_sdpa
+    from hdsdp_tpu.models.synthetic import maxcut_sdpa, torus_sdpa
     from hdsdp_tpu.solver.solver import HDSDPSolver
 
-    n, baseline_s, golden_obj = CASES[name]
-    prob = SDPProblem.from_sdpa(maxcut_sdpa(n=n))
+    fam, kw, baseline_s, golden_obj, overrides = CASES[name]
+    gen = {"maxcut": maxcut_sdpa, "torus": torus_sdpa}[fam]
+    prob = SDPProblem.from_sdpa(gen(**kw))
 
     def run():
-        return HDSDPSolver(prob, verbose=False).optimize()
+        return HDSDPSolver(prob, verbose=False, **overrides).optimize()
 
     r = run()  # cold: compile + execute
     ok = r.status == "PRIMAL_DUAL_OPTIMAL" and abs(r.d_obj - golden_obj) < 1e-6 * abs(
@@ -124,6 +133,7 @@ def main():
         return
     _bench_case("maxG51")
     _bench_case("maxG55")
+    _bench_case("torus22")
 
 
 if __name__ == "__main__":
