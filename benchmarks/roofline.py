@@ -39,23 +39,43 @@ import numpy as np
 
 
 def _time(fn, *args, reps=5):
-    """Median wall time of a jitted call, checksummed against DCE."""
-    out = jax.block_until_ready(fn(*args))  # compile
-    del out
-    ts = []
+    """Median wall time of a jitted call, checksummed against DCE.
+
+    The checksum is fetched to HOST each rep: on the experimental axon
+    TPU platform block_until_ready() returns before the device work
+    completes (observed: 4096^3 bf16 "measured" at 1970 Tflop/s, 5x the
+    v5e physical peak), so only a host read-back is a true barrier.
+    The scalar transfer adds one RTT, amortized by timing reps together.
+    """
+    float(np.asarray(fn(*args)))  # compile + warm
+    t0 = time.perf_counter()
+    acc = 0.0
     for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        acc += float(np.asarray(fn(*args)))
+    t = (time.perf_counter() - t0) / reps
+    del acc
+    return t
 
 
-def matmul_ceiling(dtype, k=4096):
-    """Measured matmul Tflop/s at size k — the per-precision roofline."""
+def matmul_ceiling(dtype, k=4096, chain=8):
+    """Measured matmul Tflop/s at size k — the per-precision roofline.
+
+    `chain` dependent matmuls run inside ONE dispatch so the host RTT of
+    the checksum fetch (see _time) is amortized; each iterate rescales
+    to unit RMS to keep the values finite across the chain.
+    """
     a = jnp.asarray(np.random.default_rng(0).normal(size=(k, k)), dtype)
-    f = jax.jit(lambda x: jnp.sum(x @ x))
-    t = _time(f, a)
-    return 2 * k**3 / t / 1e12
+
+    def body(x, _):
+        y = x @ x
+        y = y * (1.0 / jnp.sqrt(jnp.mean(jnp.square(y.astype(jnp.float32))))).astype(
+            x.dtype
+        )
+        return y, ()
+
+    f = jax.jit(lambda x: jnp.sum(jax.lax.scan(body, x, (), length=chain)[0]))
+    t = _time(f, a, reps=3)
+    return chain * 2 * k**3 / t / 1e12
 
 
 def assembly_rate(m, n, r=2, hp=False):
@@ -133,6 +153,11 @@ def chol_rates(m):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1024:512,2048:512,4096:512")
+    ap.add_argument("--skip-assembly", action="store_true")
+    ap.add_argument("--skip-chol", action="store_true")
+    ap.add_argument("--skip-f64-assembly", action="store_true",
+                    help="hp assembly only (the n=5000 f64 emulated-matmul "
+                    "compile has killed the axon remote-compile pipe)")
     ap.add_argument("--ceiling-k", type=int, default=4096)
     args = ap.parse_args()
 
@@ -148,13 +173,38 @@ def main():
         f"bf16 {ceil['bf16']:.1f} Tflop/s"
     )
 
+    # every case is individually fallible: one broken compile (the axon
+    # remote-compile pipe dies on very large f64 emulated programs) must
+    # not lose the rest of the table
+    if not args.skip_chol:
+        for m in sorted({int(tok.split(":")[0]) for tok in args.sizes.split(",")}):
+            try:
+                rates = chol_rates(m)
+            except Exception as e:
+                print(f"  (cholesky m={m} skipped: {type(e).__name__})")
+                continue
+            for k, (rate, t) in rates.items():
+                base = ceil["f32"] if "f32" in k or "dd" in k else ceil["f64"]
+                print(
+                    f"cholesky  m={m:5d} {k:9s}: {t*1e3:8.2f} ms "
+                    f"{rate:7.3f} Tflop/s = {100*rate/base:5.1f}% of "
+                    f"{'f32' if base == ceil['f32'] else 'f64'} ceiling"
+                )
+
+    if args.skip_assembly:
+        return
     for tok in args.sizes.split(","):
         m, n = (int(x) for x in tok.split(":"))
-        rate, t = assembly_rate(m, n)
-        print(
-            f"assembly  m={m:5d} n={n:4d} r=2: {t*1e3:8.2f} ms "
-            f"{rate:7.3f} Tflop/s = {100*rate/ceil['f64']:5.1f}% of f64 ceiling"
-        )
+        if not args.skip_f64_assembly:
+            try:
+                rate, t = assembly_rate(m, n)
+                print(
+                    f"assembly  m={m:5d} n={n:4d} r=2: {t*1e3:8.2f} ms "
+                    f"{rate:7.3f} Tflop/s = {100*rate/ceil['f64']:5.1f}% of "
+                    f"f64 ceiling"
+                )
+            except Exception as e:
+                print(f"  (f64 assembly m={m} n={n} skipped: {type(e).__name__})")
         try:
             rate, t = assembly_rate(m, n, hp=True)
             print(
@@ -165,16 +215,6 @@ def main():
             )
         except Exception as e:
             print(f"  (hp assembly skipped: {type(e).__name__})")
-
-    for m in sorted({int(tok.split(":")[0]) for tok in args.sizes.split(",")}):
-        rates = chol_rates(m)
-        for k, (rate, t) in rates.items():
-            base = ceil["f32"] if "f32" in k or "dd" in k else ceil["f64"]
-            print(
-                f"cholesky  m={m:5d} {k:9s}: {t*1e3:8.2f} ms "
-                f"{rate:7.3f} Tflop/s = {100*rate/base:5.1f}% of "
-                f"{'f32' if base == ceil['f32'] else 'f64'} ceiling"
-            )
 
 
 if __name__ == "__main__":
