@@ -1,0 +1,82 @@
+"""One-shot large-instance TPU driver: single solve, peak-HBM report.
+
+Generalizes the torus-22 driver to any synthetic family at published
+SDPLIB sizes; used for the m >= 10k TPU evidence runs (torus-22,
+theta12).  The fused iter-mode phase-B program exceeds HBM at torus-22
+size (see NOTES round-3 log); the host loop releases buffers between
+ops, so fused=False here.
+
+    python benchmarks/big_tpu.py torus22 [solver_kw=json ...]
+    python benchmarks/big_tpu.py theta12 psdp=0
+"""
+
+import faulthandler
+import json
+import os
+import signal
+import sys
+import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
+faulthandler.dump_traceback_later(1800, repeat=True)  # heartbeat on hangs
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+
+from hdsdp_tpu.models.problem import SDPProblem
+from hdsdp_tpu.models.synthetic import maxcut_sdpa, theta_sdpa, torus_sdpa
+
+# name -> (generator, kwargs).  Sizes are the published SDPLIB shapes.
+INSTANCES = {
+    "torus22": (torus_sdpa, dict(side=22)),            # m = n = 10648
+    "theta12": (theta_sdpa, dict(n=600, n_edges=17978)),  # m = 17979, n = 600
+    "theta6": (theta_sdpa, dict(n=300, n_edges=4374)),    # m = 4375, n = 300
+    "maxG55": (maxcut_sdpa, dict(n=5000)),             # m = n = 5000
+}
+
+name = sys.argv[1] if len(sys.argv) > 1 else "torus22"
+overrides = {}
+for arg in sys.argv[2:]:
+    k, v = arg.split("=")
+    overrides[k] = json.loads(v)
+
+gen, kw = INSTANCES[name]
+t0 = time.time()
+prob = SDPProblem.from_sdpa(gen(**kw))
+print(f"[{name}] m={prob.m} n={max(prob.block_dims)} presolve "
+      f"{time.time() - t0:.1f}s", flush=True)
+
+from hdsdp_tpu.solver.solver import HDSDPSolver
+
+t0 = time.time()
+solver = HDSDPSolver(prob, fused=False, **overrides)
+r = solver.optimize()
+t = time.time() - t0
+
+peak = None
+try:
+    stats = jax.devices()[0].memory_stats()
+    peak = stats.get("peak_bytes_in_use")
+except Exception:
+    pass
+
+print(json.dumps({
+    "instance": name,
+    "m": prob.m,
+    "n": int(max(prob.block_dims)),
+    "status": r.status,
+    "d_obj": r.d_obj,
+    "iters": r.n_iters,
+    "wall_s": round(t, 2),
+    "s_per_iter": round(t / max(r.n_iters, 1), 3),
+    "dimacs_max": float(np.max(np.abs(r.dimacs))),
+    "peak_hbm_gb": round(peak / 2**30, 2) if peak else None,
+}), flush=True)
