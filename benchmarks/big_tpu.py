@@ -54,7 +54,21 @@ prob = SDPProblem.from_sdpa(gen(**kw))
 print(f"[{name}] m={prob.m} n={max(prob.block_dims)} presolve "
       f"{time.time() - t0:.1f}s", flush=True)
 
+from hdsdp_tpu.solver import dimacs as dimacs_mod
 from hdsdp_tpu.solver.solver import HDSDPSolver
+
+# time the post-solve primal recovery + DIMACS gate separately: at
+# torus-22 scale it is a large fraction of the warm wall (NOTES r3)
+_tails = {}
+for _fn in ("check_solution", "recover_primal"):
+    def _timed(f=getattr(dimacs_mod, _fn), key=_fn):
+        def inner(*a, **kw):
+            s = time.time()
+            out = f(*a, **kw)
+            _tails[key] = _tails.get(key, 0.0) + time.time() - s
+            return out
+        return inner
+    setattr(dimacs_mod, _fn, _timed())
 
 t0 = time.time()
 solver = HDSDPSolver(prob, fused=False, **overrides)
@@ -79,4 +93,5 @@ print(json.dumps({
     "s_per_iter": round(t / max(r.n_iters, 1), 3),
     "dimacs_max": float(np.max(np.abs(r.dimacs))),
     "peak_hbm_gb": round(peak / 2**30, 2) if peak else None,
+    "tail_s": {k: round(v, 2) for k, v in _tails.items()},
 }), flush=True)
