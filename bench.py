@@ -1,27 +1,35 @@
-"""Benchmark driver: prints ONE JSON line.
+"""Benchmark driver: prints one JSON line PER CASE, immediately, and
+re-emits the largest completed case as the final (headline) line.
 
-Metric: warm end-to-end wall time of maxG55 (SDPLIB maxcut family at its
-published size, n = m = 5000) on the accelerator — the largest instance
-the reference binary completes on this box within an hour — or maxG51
-(n = m = 1000) on the CPU fallback.  ``vs_baseline`` is
-baseline_time / our_time (>1 = faster than the reference).
+Round-4 contract (fixes the BENCH_r03 rc=124/parsed-null failure, where
+a serial 3-case cold-cache run timed out before the first line printed):
+
+* Each case runs in its OWN subprocess with its own timeout, so a hung
+  TPU tunnel / OOM / compile blow-up on one case cannot erase the rest.
+* A wall-clock budget (env HDSDP_BENCH_BUDGET_S, default 2400 s) is
+  enforced BETWEEN cases: a case only starts if the remaining budget
+  covers its worst-case estimate; otherwise a "skipped" line is emitted
+  citing the last recorded number (marked stale).
+* Every line carries the DIMACS max, and the golden check gates on BOTH
+  the objective (1e-6 relative) and a per-case DIMACS ceiling, so an
+  accuracy regression flips the metric name to *_FAILED even when the
+  objective still matches.
+* The final stdout line is always the largest successfully measured
+  case (duplicated if needed) — the driver records the last JSON line.
+
+Metric per case: WARM end-to-end wall of the full solve+check (the
+second in-process run; the first run compiles against the persistent
+XLA cache at /root/repo/.jax_cache).
 
 Baseline provenance: the reference binary was BUILT AND RUN ON THIS
-MACHINE (cmake -DCMAKE_C_FLAGS=-DUNDERBLAS against the system
-liblapack/libblas, 1 thread — the reference has no threading of its own
-beyond BLAS) on the byte-identical instance, written with
-hdsdp_tpu.io.sdpa.write_sdpa:
-
-    /tmp/hdsdp_build/sdpasolve maxG51_synth.dat-s
-      -> Primal dual optimal, dObj -2.6142702231e+02, 23.7 s (35 iters)
-
-Our warm solve of the same instance: see BENCH_r*.json.  Golden check:
-the objective must match the reference's to 1e-6 relative.  Context
-numbers recorded in NOTES.md: theta6 (m=4375) ref 179.5 s vs ours
-362.9 s; mcp100 ref 0.12 s vs ours ~2.2 s (latency-bound at m=100).
-
-A persistent XLA compilation cache keeps recompilation out of the
-measurement; the first (cold) solve warms the cache and the device.
+MACHINE (cmake against system netlib BLAS, 1 thread — the reference has
+no threading of its own beyond BLAS) on byte-identical instances written
+with hdsdp_tpu.io.sdpa.write_sdpa (ref driver: tests/sdpasolve.c:185-278):
+  maxG51  (n=m=1000):  23.7 s, dObj -2.6142702231e+02, 35 iters
+  maxG55  (n=m=5000):  2931.9 s opt (3070.0 total), dObj -1.3466413695e+03,
+                       DIMACS max 5.81e-09 (2026-08-19)
+  torus22 (n=m=10648): 22274.8 s opt (23274.5 total), dObj -2.7298678860e+03,
+                       DIMACS max 1.87e-09 (2026-08-19, /tmp/torus22_ref_long.log)
 """
 
 import json
@@ -32,12 +40,81 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
+# name: (family, gen_kwargs, baseline_s, golden_dObj, dimacs_gate, overrides,
+#        est_warm_s, est_cold_s, last_recorded_s)
+# est_cold_s = worst case with a cold-ish compile cache; used for the
+# budget check.  last_recorded_s feeds the "skipped" line (stale).
+CASES = {
+    "maxG51": ("maxcut", dict(n=1000), 23.7, -261.4270223, 1e-5, {},
+               30.0, 600.0, 10.6),
+    "maxG55": ("maxcut", dict(n=5000), 2931.9, -1346.6413695, 1e-4, {},
+               90.0, 900.0, 63.3),
+    "torus22": ("torus", dict(side=22), 22274.8, -2729.8678860, 1e-3,
+                dict(psdp=0), 600.0, 2400.0, 508.2),
+}
+ORDER = ["maxG51", "maxG55", "torus22"]
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+    return obj
+
+
+def _run_case(name: str):
+    """Child-process body: solve the case twice (cold=compile, warm=measure)
+    and print ONE JSON line."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from hdsdp_tpu.models.problem import SDPProblem
+    from hdsdp_tpu.models.synthetic import maxcut_sdpa, torus_sdpa
+    from hdsdp_tpu.solver.solver import HDSDPSolver
+
+    fam, kw, baseline_s, golden_obj, dimacs_gate, overrides, _, _, _ = CASES[name]
+    gen = {"maxcut": maxcut_sdpa, "torus": torus_sdpa}[fam]
+    prob = SDPProblem.from_sdpa(gen(**kw))
+
+    def run():
+        return HDSDPSolver(prob, verbose=False, **overrides).optimize()
+
+    r = run()  # cold: compile + execute
+    t0 = time.time()
+    r = run()  # warm: the measurement
+    t = time.time() - t0
+
+    dmax = float(max(r.dimacs))
+    ok = (
+        r.status == "PRIMAL_DUAL_OPTIMAL"
+        and abs(r.d_obj - golden_obj) < 1e-6 * abs(golden_obj)
+        and dmax <= dimacs_gate
+    )
+    metric = f"{name}_warm_solve_s" if ok else f"{name}_warm_solve_s_FAILED"
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        metric += "_cpu_fallback"
+    _emit(
+        {
+            "metric": metric,
+            "value": round(t, 3),
+            "unit": "s",
+            "vs_baseline": round(baseline_s / t, 4),
+            "dimacs_max": float(f"{dmax:.3e}"),
+            "iters": r.n_iters,
+            "dobj": r.d_obj,
+        }
+    )
+
 
 def _accelerator_ready(timeout_s: float = 180.0) -> bool:
     """Probe the accelerator in a SUBPROCESS: a hung TPU tunnel blocks
     backend init indefinitely (observed: 'TPU backend setup/compile
-    error (Unavailable)' after ~25 min), which must not hang the bench.
-    Falls back to CPU when the probe fails or times out."""
+    error (Unavailable)' after ~25 min).  Falls back to CPU on failure."""
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -52,88 +129,85 @@ def _accelerator_ready(timeout_s: float = 180.0) -> bool:
         return False
 
 
-_ON_CPU = False
-if not _accelerator_ready():
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    _ON_CPU = True
-
-import jax
-
-jax.config.update("jax_enable_x64", True)
-if _ON_CPU:
-    jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-# Reference binary on this machine, same instances (see module docstring).
-# maxG51: sdpasolve 23.7 s, dObj -2.6142702231e+02 (35 iters).
-# maxG55 (n = m = 5000): sdpasolve optimization time 2931.9 s (total
-# 3070.0 s), dObj -1.3466413695e+03, DIMACS max 5.81e-09 (2026-08-19,
-# 1 BLAS thread, byte-identical /tmp/maxG55_synth.dat-s via write_sdpa).
-# toruspm3-22 (n = m = 10648): sdpasolve optimization time 22274.8 s
-# (total 23274.5 s), dObj -2.7298678860e+03, DIMACS max 1.87e-09
-# (2026-08-19, byte-identical /tmp/torus22_synth.dat-s; full log
-# /tmp/torus22_ref_long.log).  Ours runs psdp=0 there: the PSDP
-# contraction floor (1 - 1/sqrt(n)) is useless at n = 10648 and its
-# X-side machinery doubles peak HBM.
-CASES = {
-    # name: (family, gen_kwargs, baseline_s, golden_dObj, overrides)
-    "maxG51": ("maxcut", dict(n=1000), 23.7, -261.4270223, {}),
-    "maxG55": ("maxcut", dict(n=5000), 2931.9, -1346.6413695, {}),
-    "torus22": ("torus", dict(side=22), 22274.8, -2729.8678860,
-                dict(psdp=0)),
-}
-
-
-def _bench_case(name: str):
-    from hdsdp_tpu.models.problem import SDPProblem
-    from hdsdp_tpu.models.synthetic import maxcut_sdpa, torus_sdpa
-    from hdsdp_tpu.solver.solver import HDSDPSolver
-
-    fam, kw, baseline_s, golden_obj, overrides = CASES[name]
-    gen = {"maxcut": maxcut_sdpa, "torus": torus_sdpa}[fam]
-    prob = SDPProblem.from_sdpa(gen(**kw))
-
-    def run():
-        return HDSDPSolver(prob, verbose=False, **overrides).optimize()
-
-    r = run()  # cold: compile + execute
-    ok = r.status == "PRIMAL_DUAL_OPTIMAL" and abs(r.d_obj - golden_obj) < 1e-6 * abs(
-        golden_obj
-    )
-
-    t0 = time.time()
-    r = run()  # warm
-    t = time.time() - t0
-
-    metric = f"{name}_warm_solve_s" if ok else f"{name}_warm_solve_s_FAILED"
-    if _ON_CPU:
-        metric += "_cpu_fallback"  # accelerator tunnel was unreachable
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(t, 3),
-                "unit": "s",
-                "vs_baseline": round(baseline_s / t, 4),
-            }
-        ),
-        flush=True,
-    )
-
-
 def main():
-    # Stable bench contract (round 3+): emit BOTH maxG51 and maxG55 every
-    # round so BENCH_r{N} files stay comparable across rounds.  The
-    # LAST line is the headline the driver records (maxG55 on the
-    # accelerator).  The CPU fallback keeps only the faster maxG51 so a
-    # broken tunnel still yields a number.
-    if _ON_CPU:
-        _bench_case("maxG51")
+    if len(sys.argv) == 3 and sys.argv[1] == "--case":
+        _run_case(sys.argv[2])
         return
-    _bench_case("maxG51")
-    _bench_case("maxG55")
-    _bench_case("torus22")
+
+    budget = float(os.environ.get("HDSDP_BENCH_BUDGET_S", "2400"))
+    t_start = time.time()
+    on_cpu = not _accelerator_ready()
+    env = dict(os.environ)
+    if on_cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+
+    cases = ["maxG51"] if on_cpu else ORDER
+    best = None  # measured line of the largest completed case
+    for name in cases:
+        (_, _, baseline_s, _, _, _, est_warm, est_cold, last_s) = CASES[name]
+        elapsed = time.time() - t_start
+        remaining = budget - elapsed
+        # Warm persistent cache => est_warm + compile-cache hits; leave
+        # headroom for a partially-invalidated cache via est_cold.
+        if best is not None and remaining < min(est_cold, 2 * est_warm + 120):
+            _emit(
+                {
+                    "metric": f"{name}_warm_solve_s_SKIPPED_budget",
+                    "value": last_s,
+                    "unit": "s",
+                    "vs_baseline": round(baseline_s / last_s, 4),
+                    "stale": True,
+                    "note": "budget exhausted; value is the last recorded "
+                            "measurement (NOTES.md), not from this run",
+                }
+            )
+            continue
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--case", name],
+                timeout=max(60.0, remaining),
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            line = None
+            for ln in (p.stdout or "").splitlines():
+                ln = ln.strip()
+                if ln.startswith("{"):
+                    try:
+                        line = json.loads(ln)
+                    except ValueError:
+                        pass
+            if line is None:
+                tail = ((p.stderr or "") + (p.stdout or ""))[-300:]
+                _emit(
+                    {
+                        "metric": f"{name}_warm_solve_s_FAILED_nojson",
+                        "value": 0.0,
+                        "unit": "s",
+                        "vs_baseline": 0.0,
+                        "rc": p.returncode,
+                        "tail": tail,
+                    }
+                )
+                continue
+            _emit(line)
+            if "FAILED" not in line["metric"] and "SKIPPED" not in line["metric"]:
+                best = line
+        except subprocess.TimeoutExpired:
+            _emit(
+                {
+                    "metric": f"{name}_warm_solve_s_FAILED_timeout",
+                    "value": 0.0,
+                    "unit": "s",
+                    "vs_baseline": 0.0,
+                }
+            )
+
+    # The driver records the LAST JSON line: make it the largest measured
+    # success of this run (duplicate is intentional).
+    if best is not None:
+        _emit(best)
 
 
 if __name__ == "__main__":
