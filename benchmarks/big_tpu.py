@@ -43,10 +43,14 @@ INSTANCES = {
 }
 
 name = sys.argv[1] if len(sys.argv) > 1 else "torus22"
-overrides = {}
+# CLI wins over the fused=False default; non-JSON values pass as strings
+overrides = {"fused": False}
 for arg in sys.argv[2:]:
-    k, v = arg.split("=")
-    overrides[k] = json.loads(v)
+    k, v = arg.split("=", 1)
+    try:
+        overrides[k] = json.loads(v)
+    except ValueError:
+        overrides[k] = v
 
 gen, kw = INSTANCES[name]
 t0 = time.time()
@@ -57,21 +61,27 @@ print(f"[{name}] m={prob.m} n={max(prob.block_dims)} presolve "
 from hdsdp_tpu.solver import dimacs as dimacs_mod
 from hdsdp_tpu.solver.solver import HDSDPSolver
 
-# time the post-solve primal recovery + DIMACS gate separately: at
-# torus-22 scale it is a large fraction of the warm wall (NOTES r3)
+# time the whole post-solve check_solution call (recovery + min-eig +
+# error assembly); at torus-22 scale it is a large fraction of the warm
+# wall (NOTES r3).  Any PSDP in-solve recovery time is NOT in this tail.
 _tails = {}
-for _fn in ("check_solution", "recover_primal"):
-    def _timed(f=getattr(dimacs_mod, _fn), key=_fn):
-        def inner(*a, **kw):
-            s = time.time()
-            out = f(*a, **kw)
-            _tails[key] = _tails.get(key, 0.0) + time.time() - s
-            return out
-        return inner
-    setattr(dimacs_mod, _fn, _timed())
+
+
+def _timed_check(f=dimacs_mod.check_solution):
+    def inner(*a, **kw):
+        s = time.time()
+        out = f(*a, **kw)
+        _tails["check_solution"] = (
+            _tails.get("check_solution", 0.0) + time.time() - s
+        )
+        return out
+    return inner
+
+
+dimacs_mod.check_solution = _timed_check()
 
 t0 = time.time()
-solver = HDSDPSolver(prob, fused=False, **overrides)
+solver = HDSDPSolver(prob, **overrides)
 r = solver.optimize()
 t = time.time() - t0
 
@@ -92,6 +102,7 @@ print(json.dumps({
     "wall_s": round(t, 2),
     "s_per_iter": round(t / max(r.n_iters, 1), 3),
     "dimacs_max": float(np.max(np.abs(r.dimacs))),
+    "dimacs": [float(f"{e:.3e}") for e in r.dimacs],
     "peak_hbm_gb": round(peak / 2**30, 2) if peak else None,
     "tail_s": {k: round(v, 2) for k, v in _tails.items()},
 }), flush=True)
