@@ -185,7 +185,8 @@ def _dense_congruence(ga: GroupArrays, U: jnp.ndarray):
 
 
 def _slot_schur(
-    ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool, hp: bool = False
+    ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool, hp: bool = False,
+    col: Optional[GroupArrays] = None,
 ) -> SchurOut:
     """Slot-major Schur contribution (g == 1): r(r+1)/2 [m,n]x[n,m]
     matmuls indexed directly by constraint — the large-m path.
@@ -194,7 +195,12 @@ def _slot_schur(
     pair products Fs_j U Fs_k^T) through the Ozaki-sliced bf16 MXU
     matmul (ops.hpmm, ~2^-45 relative) instead of emulated f64
     (~0.5 Tflop/s on TPU vs ~100 Tflop/s bf16).  Everything else —
-    Hadamard squares, scalings, the small dense bucket — stays f64."""
+    Hadamard squares, scalings, the small dense bucket — stays f64.
+
+    ``col``: replicated view of the group used for COLUMN-side operands
+    of M on a row-sharded mesh (see _diag_schur)."""
+    if col is None:
+        col = ga
     r, m_, n = ga.Fs.shape
     U0 = U[0]
     md = ga.Ad.shape[0]
@@ -223,12 +229,25 @@ def _slot_schur(
         for j in range(r):
             for k in range(j, r):
                 T = (
-                    hpmm.hpmm(FU[j], ga.Fs[k].T)
+                    hpmm.hpmm(FU[j], col.Fs[k].T)
                     if hp
-                    else FU[j] @ ga.Fs[k].T
+                    else FU[j] @ col.Fs[k].T
                 )  # [m, m]
-                T = (ga.lams[j][:, None] * ga.lams[k][None, :]) * (T * T)
-                M = M + T + T.T if k > j else M + T
+                T = (ga.lams[j][:, None] * col.lams[k][None, :]) * (T * T)
+                if k == j:
+                    M = M + T
+                elif col is not ga:
+                    # row-sharded mesh: avoid the transpose reshard
+                    Tt = (
+                        hpmm.hpmm(FU[k], col.Fs[j].T)
+                        if hp
+                        else FU[k] @ col.Fs[j].T
+                    )
+                    M = M + T + (
+                        ga.lams[k][:, None] * col.lams[j][None, :]
+                    ) * (Tt * Tt)
+                else:
+                    M = M + T + T.T
 
         if md:
             # dense x dense (single block: all pairs interact)
@@ -248,7 +267,8 @@ def _slot_schur(
     return SchurOut(M=M, asinv=asinv, trSAS=trsas, trU=trU)
 
 
-def _diag_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> SchurOut:
+def _diag_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool,
+                col: Optional[GroupArrays] = None) -> SchurOut:
     """Diagonal rank-1 bucket: A_i = w_i e_{p_i} e_{p_i}^T, so
 
         M_ij    = w_i w_j (U_{p_i p_j})^2          (gather + square)
@@ -257,7 +277,16 @@ def _diag_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> SchurO
 
     O(m^2 + n^2) per build vs the generic slot path's O(n m^2) — the
     maxG*/torus* family shortcut (≙ ref M2 rank-one quadforms on 1-nnz
-    eigenvectors, hdsdp_conic_sdp.c:687-778)."""
+    eigenvectors, hdsdp_conic_sdp.c:687-778).
+
+    ``col``: alternative (replicated) view of the group arrays used for
+    every COLUMN-side operand of M.  On a row-sharded mesh the row-side
+    arrays carry the constraint-row sharding; reading the column side
+    from the same sharded arrays forces GSPMD to reshard the whole
+    [m, m] intermediate, so the mesh path passes the unconstrained
+    (replicated) copy here instead."""
+    if col is None:
+        col = ga
     U0 = U[0]
     p = ga.dpos
     w = ga.dw
@@ -276,27 +305,35 @@ def _diag_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> SchurO
         trsas = trsas.at[ga.didx].add(jnp.trace(B, axis1=-2, axis2=-1))
 
     if with_m:
-        Usub = U0[p][:, p]
-        M = (w[:, None] * w[None, :]) * (Usub * Usub)
+        Usub = U0[p][:, col.dpos]
+        M = (w[:, None] * col.dw[None, :]) * (Usub * Usub)
         if md:
             Mdd = jnp.einsum("ipq,jpq->ij", B, ga.Ad, optimize=True)
             Ed = jax.nn.one_hot(ga.didx, m, dtype=U.dtype)  # [md, m]
             M = M + Ed.T @ (Mdd @ Ed)
             # dense x diag cross: w_i B_d[p_i, p_i]
-            Xc = w[None, :] * jnp.diagonal(B, axis1=-2, axis2=-1)[:, p]
+            Xc = col.dw[None, :] * jnp.diagonal(B, axis1=-2, axis2=-1)[
+                :, col.dpos
+            ]
             Mx = Ed.T @ Xc
             M = M + Mx + Mx.T
 
     return SchurOut(M=M, asinv=asinv, trSAS=trsas, trU=trU)
 
 
-def _support_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> SchurOut:
+def _support_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool,
+                   col: Optional[GroupArrays] = None) -> SchurOut:
     """Bounded-support slot bucket: every eigenvector has <= c nonzeros,
     so every pair product (Fs_j U Fs_k^T)_{i1 i2} = sum_{a,b}
     v_{j,i1,a} v_{k,i2,b} U[p_{j,i1,a}, p_{k,i2,b}] — c^2 gathered m x m
     Hadamard terms per slot pair, no [m,n]x[n,m] matmul (≙ ref sparse
     pairwise M5 kernels, hdsdp_sdpdata.c:1711-1963).  Needs one n^3
-    matmul (U @ U) for the trSAS row regardless of m."""
+    matmul (U @ U) for the trSAS row regardless of m.
+
+    ``col``: replicated view of the group used for COLUMN-side operands
+    of M on a row-sharded mesh (see _diag_schur)."""
+    if col is None:
+        col = ga
     U0 = U[0]
     P = ga.spos  # [r, m, c]
     V = ga.sval
@@ -322,18 +359,36 @@ def _support_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> Sch
         trsas = trsas.at[ga.didx].add(jnp.trace(B, axis1=-2, axis2=-1))
 
     if with_m:
+        Pc, Vc, wc = col.spos, col.sval, col.lams
+
+        def pair(Pr, Vr, Pcol, Vcol):
+            # (Fs_j U Fs_k^T)[i1, i2] over the two supports: c^2 gathered
+            # m x m Hadamard terms (row side gathers rows of U, column
+            # side gathers columns of the row-gathered [m, n] block)
+            T = jnp.zeros((m_, m_), U.dtype)
+            for a in range(c):
+                G = U0[Pr[:, a]]  # [m, n]
+                for b in range(c):
+                    T = T + (Vr[:, a, None] * Vcol[None, :, b]) * G[
+                        :, Pcol[:, b]
+                    ]
+            return T
+
         M = jnp.zeros((m, m), U.dtype)
         for j in range(r):
             for k in range(j, r):
-                T = jnp.zeros((m_, m_), U.dtype)
-                for a in range(c):
-                    G = U0[P[j, :, a]]  # [m, n]
-                    for b in range(c):
-                        T = T + (
-                            V[j, :, a, None] * V[k, None, :, b]
-                        ) * G[:, P[k, :, b]]
-                T = (w[j][:, None] * w[k][None, :]) * (T * T)
-                M = M + T + T.T if k > j else M + T
+                T = pair(P[j], V[j], Pc[k], Vc[k])
+                T = (w[j][:, None] * wc[k][None, :]) * (T * T)
+                if k == j:
+                    M = M + T
+                elif col is not ga:
+                    # row-sharded mesh: T.T would transpose-reshard the
+                    # [m_loc, m] shard (all-to-all); compute the (k, j)
+                    # partner row-major instead
+                    Tt = pair(P[k], V[k], Pc[j], Vc[j])
+                    M = M + T + (w[k][:, None] * wc[j][None, :]) * (Tt * Tt)
+                else:
+                    M = M + T + T.T
         if md:
             Mdd = jnp.einsum("ipq,jpq->ij", B, ga.Ad, optimize=True)
             Ed = jax.nn.one_hot(ga.didx, m, dtype=U.dtype)  # [md, m]
@@ -351,20 +406,23 @@ def _support_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool) -> Sch
 
 def group_schur(
     ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool = True,
-    hp: bool = False,
+    hp: bool = False, col: Optional[GroupArrays] = None,
 ) -> SchurOut:
     """Schur contribution of one group given U = S^-1 [g,n,n].
 
     ``hp`` (slot-major groups only) runs the large matmuls on the bf16
     MXU via ops.hpmm — see _slot_schur.  Diagonal rank-1 groups take
-    the O(m^2) gather path regardless of ``hp``."""
+    the O(m^2) gather path regardless of ``hp``.
+
+    ``col``: replicated view of the same group for COLUMN-side operands
+    of M (row-sharded mesh assembly; see _diag_schur)."""
 
     if ga.dpos is not None:
-        return _diag_schur(ga, U, m, with_m)
+        return _diag_schur(ga, U, m, with_m, col=col)
     if ga.spos is not None:
-        return _support_schur(ga, U, m, with_m)
+        return _support_schur(ga, U, m, with_m, col=col)
     if ga.Fs is not None:
-        return _slot_schur(ga, U, m, with_m, hp=hp)
+        return _slot_schur(ga, U, m, with_m, hp=hp, col=col)
 
     g, R, n = ga.F.shape
     md = ga.Ad.shape[0]

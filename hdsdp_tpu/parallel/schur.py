@@ -459,8 +459,14 @@ class RowShardedConeSystem(ConeSystem):
             return ga._replace(**rep)
 
         def _build(groups, lp, L, s_lp, Rd, kind: str):
-            groups = tuple(_constrain(ga) for ga in groups)
-            out = _build_kkt(groups, lp, L, s_lp, Rd, m=m, kind=kind)
+            # row side reads the constrained (row-sharded) arrays; the
+            # COLUMN side of M reads the original replicated views, so
+            # GSPMD never reshards the [m_loc, m] intermediates
+            groups_row = tuple(_constrain(ga) for ga in groups)
+            out = _build_kkt(
+                groups_row, lp, L, s_lp, Rd, m=m, kind=kind,
+                col_groups=groups,
+            )
             if out.M is not None:
                 pad = self.m_pad - m
                 Mp = jnp.pad(out.M, ((0, pad), (0, pad)))

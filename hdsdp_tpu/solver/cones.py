@@ -83,7 +83,12 @@ def _logdet(L, s_lp):
 
 
 @partial(jax.jit, static_argnames=("m", "kind", "hp"))
-def _build_kkt(groups, lp, L, s_lp, Rd, m: int, kind: str, hp: bool = False) -> KKTOut:
+def _build_kkt(groups, lp, L, s_lp, Rd, m: int, kind: str, hp: bool = False,
+               col_groups=None) -> KKTOut:
+    """col_groups: replicated views of the groups for the COLUMN-side
+    operands of M on a row-sharded mesh (see ops.schur._diag_schur)."""
+    if col_groups is None:
+        col_groups = (None,) * len(groups)
     dtype = L[0].dtype if L else s_lp.dtype
     with_m = kind != "corr"
     M = jnp.zeros((m, m), dtype) if with_m else None
@@ -95,9 +100,9 @@ def _build_kkt(groups, lp, L, s_lp, Rd, m: int, kind: str, hp: bool = False) -> 
     csinvcsinv = jnp.zeros((), dtype)
     csinvrdsinv = jnp.zeros((), dtype)
 
-    for ga, Lg in zip(groups, L):
+    for ga, Lg, cg in zip(groups, L, col_groups):
         U = chol_ops.chol_inverse(Lg, use_dd=hp)
-        out = schur_ops.group_schur(ga, U, m, with_m=with_m, hp=hp)
+        out = schur_ops.group_schur(ga, U, m, with_m=with_m, hp=hp, col=cg)
         if with_m:
             M = M + out.M
         asinv = asinv + out.asinv
