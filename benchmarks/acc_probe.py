@@ -69,6 +69,10 @@ print(f"dominant: errs[{imax}] = {r.dimacs[imax]:.3e}  ({labels[imax]})",
       flush=True)
 print(f"makers: acc.mu={ipm.maker_acc.mu:.3e} inacc.mu={ipm.maker_inacc.mu:.3e}",
       flush=True)
+for ev in getattr(ipm, "_maker_trace", [])[-25:]:
+    print("  trace:", json.dumps(
+        {k: (f"{v:.3e}" if isinstance(v, float) else v) for k, v in ev.items()}
+    ), flush=True)
 
 # ---- re-derive the raw parts for the maker the check used -------------
 use_acc = ipm.maker_acc.mu > 0.0 and ipm.status == "PRIMAL_DUAL_OPTIMAL"

@@ -106,6 +106,7 @@ class DualIPM:
         self._op_bound = None  # bound-cone diagonal [m]
         self._op_diag = None  # exact diag(M) incl. bound
         self._op_reg = 0.0
+        self._op_escalated = None  # direct factor from a CG stall
         self.b = jnp.asarray(prob.b * self.rhs_scal, self.dtype)
 
         # bound cone box (ref hdsdp.c:675-690)
@@ -336,6 +337,7 @@ class DualIPM:
             self._op_bound = bound
             self._op_reg = 0.0
             self._op_diag = self.cones.kkt_diag(Us, self.s_lp) + bound
+            self._op_escalated = None  # new operator: drop any stale factor
         self.kkt = kkt._replace(asinv=asinv)
         return self.kkt
 
@@ -542,28 +544,96 @@ class DualIPM:
         self.Mfac = None
         self.d1 = self.d2 = self.d3 = self.d4 = None
         self._op_Us = self._op_diag = self._op_bound = self._op_slp = None
+        self._op_escalated = None
         if hasattr(self, "_cg"):
             del self._cg
         if hasattr(self.cones, "_lz_warm"):
             self.cones._lz_warm = None
 
     def _op_solve(self, B: jnp.ndarray):
-        """Jacobi-PCG solve of M X = B on the matrix-free operator."""
-        extra = self._op_bound + self._op_reg
-        diag = self._op_diag + self._op_reg
-        pinv = 1.0 / jnp.maximum(diag, 1e-300)
-        X, res, n_it = self.cones.kkt_pcg(
-            self._op_Us, self._op_slp, extra, pinv, B,
-            abs_tol=1e-10, rel_tol=1e-10,
-            max_iter=self.params.kkt_free_maxiter,
+        """Jacobi-PCG solve of M X = B on the matrix-free operator, with
+        a stall-escalation ladder (≙ the reference's CG -> dense-LDL
+        switch, hdsdp_linsolver.c:1827-1857):
+
+          1. Jacobi-PCG at kkt_free_maxiter,
+          2. on stall: continue the same CG 4x longer (warm from X),
+          3. still stalled and m small enough to afford a dense M once:
+             materialize M via the dense build, direct-ladder factor,
+             and solve every remaining system this KKT round against it.
+        """
+        def pcg(B0, max_iter):
+            extra = self._op_bound + self._op_reg
+            diag = self._op_diag + self._op_reg
+            pinv = 1.0 / jnp.maximum(diag, 1e-300)
+            X, res, n_it = self.cones.kkt_pcg(
+                self._op_Us, self._op_slp, extra, pinv, B0,
+                abs_tol=1e-10, rel_tol=1e-10, max_iter=max_iter,
+            )
+            self._factor_stats["opcg_iters"] = (
+                self._factor_stats.get("opcg_iters", 0) + int(n_it)
+            )
+            worst = float(
+                jnp.max(res / jnp.maximum(jnp.linalg.norm(B0, axis=0), 1.0))
+            )
+            return X, worst
+
+        if getattr(self, "_op_escalated", None) is not None:
+            # a direct factor from a previous stall this KKT round:
+            # keep solving against it (factor-once / solve-many)
+            return self._solve_escalated(B)
+
+        X, worst = pcg(B, self.params.kkt_free_maxiter)
+        if worst <= 1e-06:
+            return X
+        # tier 2: same CG, 4x budget, warm-started via residual correction
+        self.log.info(f"operator CG stalled (rel {worst:.2e}); extending")
+        dX, worst2 = pcg(
+            B - self.cones.kkt_matvec(
+                self._op_Us, self._op_slp,
+                self._op_bound + self._op_reg, X,
+            ),
+            4 * self.params.kkt_free_maxiter,
         )
-        self._factor_stats["opcg_iters"] = (
-            self._factor_stats.get("opcg_iters", 0) + int(n_it)
+        X = X + dX
+        if worst2 <= 1e-06:
+            return X
+        # tier 3: materialize M once and direct-factor (only when a
+        # dense m x m plus factor workspace plausibly fits)
+        if self.m <= self.params.op_materialize_cap:
+            self.log.info(
+                f"operator CG stalled twice (rel {worst2:.2e}); "
+                "materializing M for a direct factor"
+            )
+            self._factor_stats["op_escalations"] = (
+                self._factor_stats.get("op_escalations", 0) + 1
+            )
+            kkt = self.cones.build_kkt(self.L, self._op_slp, self.Rd, "inf")
+            M = kkt.M + jnp.diag(self._op_bound) + self._op_reg * jnp.eye(
+                self.m, dtype=self.dtype
+            )
+            saved = self.Mfac
+            self._direct_factor(M)
+            self._op_escalated = self.Mfac
+            self.Mfac = saved
+            return self._solve_escalated(B)
+        self.log.info(
+            f"operator CG stalled (rel {worst2:.2e}); m too large to "
+            "materialize M — returning best iterate"
         )
-        worst = float(jnp.max(res / jnp.maximum(jnp.linalg.norm(B, axis=0), 1.0)))
-        if worst > 1e-06:
-            self.log.info(f"operator CG stalled: rel residual {worst:.2e}")
         return X
+
+    def _solve_escalated(self, B: jnp.ndarray):
+        saved = self.Mfac
+        self.Mfac = self._op_escalated
+        try:
+            if B.shape[1] == 1:
+                return self.solve_kkt(B[:, 0])[:, None]
+            return jnp.stack(
+                self.solve_kkt_multi([B[:, i] for i in range(B.shape[1])]),
+                axis=1,
+            )
+        finally:
+            self.Mfac = saved
 
     def solve_kkt(self, rhs: jnp.ndarray) -> jnp.ndarray:
         self._factor_stats["n_solve"] += 1
@@ -713,11 +783,19 @@ class DualIPM:
         p_obj_new = self.d_obj_internal
         acc = self.params.prec_ord_acc
 
+        def trace(event, **kw):
+            # diagnostic breadcrumb trail of maker recording decisions
+            # (read by benchmarks/acc_probe.py; negligible host cost)
+            if not hasattr(self, "_maker_trace"):
+                self._maker_trace = []
+            self._maker_trace.append(dict(it=self.n_iter, mu=mu, ev=event, **kw))
+
         dy1 = self.d1 / mu - self.d2
         v2 = self.b / mu - self.kkt.asinv
         prox2 = float(dy1 @ v2)
         if prox2 < 0.0:
             self.prox_norm = 1.0
+            trace("prox2<0", prox2=prox2)
             return 0
         self.prox_norm = float(np.sqrt(prox2))
 
@@ -732,6 +810,7 @@ class DualIPM:
             feas = self.check_expert_chk(1.0, 1.0, vec, -self.Rd, with_bound=False)
             self.sl_chk, self.su_chk = sl, su
         if not feas:
+            trace("checker_infeasible")
             return 0
 
         # relative gap estimate (ref :593-610)
@@ -744,6 +823,7 @@ class DualIPM:
         p_obj_new += rel_gap * mu
 
         if rel_gap < 0:
+            trace("rel_gap<0", rel_gap=rel_gap)
             return -1 if rel_gap < -1.0 else 0
 
         self.p_obj_internal = p_obj_new
@@ -763,8 +843,14 @@ class DualIPM:
             thresh = abs(self.d_obj_internal) + 1.0
             if rel_gap * mu > inacc_tol * thresh:
                 self.maker_inacc = Maker(mu=mu, y=self.y, dy=dy1)
+                trace("inacc", gapmu=rel_gap * mu, thresh=thresh)
             elif rel_gap * mu > acc * thresh:
                 self.maker_acc = Maker(mu=mu, y=self.y, dy=dy1)
+                trace("acc", gapmu=rel_gap * mu, thresh=thresh)
+            else:
+                trace("below_acc", gapmu=rel_gap * mu, thresh=thresh)
+        else:
+            trace("p_inf>=1", p_inf=p_inf)
         return 1
 
     # ------------------------------------------------------------------

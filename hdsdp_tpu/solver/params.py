@@ -79,6 +79,12 @@ class Params:
     kkt_mode: str = "auto"
     kkt_free_threshold: int = 20000
     kkt_free_maxiter: int = 600
+    # Operator-mode stall escalation (≙ the reference's CG -> dense-LDL
+    # switch, hdsdp_linsolver.c:1827-1857): when Jacobi-PCG stalls twice
+    # (base + 4x budget), materialize M once via the dense build and
+    # direct-factor it — allowed only up to this row count (a dense f64
+    # M plus factor workspace must fit beside the cone buffers).
+    op_materialize_cap: int = 32768
     # Arithmetic for the direct Schur factorization: "xla" — XLA's
     # emulated-f64 Cholesky (VPU, ~0.02 Tflop/s); "dd" — double-single
     # blocked Cholesky on the MXU (ops.ddchol, ~2^-45 accuracy, matches

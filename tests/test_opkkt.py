@@ -101,3 +101,29 @@ def test_operator_mode_lp_mix_end_to_end():
     r = HDSDPSolver(prob, kkt_mode="free").optimize()
     assert r.status == ref.status == "PRIMAL_DUAL_OPTIMAL"
     assert r.d_obj == pytest.approx(ref.d_obj, rel=1e-06, abs=1e-06)
+
+
+def test_operator_cg_stall_escalation():
+    """A starved CG budget must escalate to the materialized direct
+    factor (≙ the reference's CG -> dense-LDL switch on solve failure,
+    hdsdp_linsolver.c:1827-1857) and still reach the optimum."""
+    prob = _prob(None, "theta60")
+    ref = HDSDPSolver(prob).optimize()
+    s = HDSDPSolver(prob, kkt_mode="free", kkt_free_maxiter=2)
+    r = s.optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.d_obj == pytest.approx(ref.d_obj, rel=1e-06, abs=1e-06)
+    assert r.stats.get("op_escalations", 0) > 0
+
+
+def test_operator_cg_stall_no_materialize_cap():
+    """Above the materialize cap the ladder must stop at tier 2 (extended
+    CG) without crashing; with a realistic extended budget the solve
+    still converges (CG is exact in at most m steps)."""
+    prob = _prob(None, "theta60")
+    s = HDSDPSolver(
+        prob, kkt_mode="free", kkt_free_maxiter=60, op_materialize_cap=0
+    )
+    r = s.optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.stats.get("op_escalations", 0) == 0
