@@ -81,6 +81,10 @@ class GroupArrays(NamedTuple):
     # gather + Hadamard square: O(m^2) instead of O(n m^2) — the TPU
     # analogue of the reference's rank-one M2 kernel shortcut
     # (ref hdsdp_conic_sdp.c:687-778, kkt2quadform on 1-nnz vectors).
+    # A length-0 dpos is the trace-time marker for the IDENTITY map
+    # p_i = i (requires m == n; the whole maxcut/torus family): every
+    # gather through p is then skipped — at torus-22 that removes two
+    # m x m copies per KKT build.
     dpos: Optional[jnp.ndarray] = None  # [m] int32 diagonal position
     dw: Optional[jnp.ndarray] = None  # [m] weight w_i (0 if no slot)
     # BOUNDED-SUPPORT specialization of the slot-major layout: every
@@ -127,7 +131,12 @@ def group_dual(ga: GroupArrays, dC, scal, y, dEye, hp: bool = False) -> jnp.ndar
     if ga.dpos is not None:
         n = ga.Fs.shape[2]
         g = 1
-        dvec = jax.ops.segment_sum(ga.dw * y, ga.dpos, num_segments=n)
+        wy = ga.dw * y
+        dvec = (
+            wy  # identity map p_i = i (length-0 dpos marker)
+            if ga.dpos.shape[0] == 0
+            else jax.ops.segment_sum(wy, ga.dpos, num_segments=n)
+        )
         W = jnp.zeros((n, n), dvec.dtype).at[
             jnp.arange(n), jnp.arange(n)
         ].set(dvec)[None]
@@ -290,11 +299,13 @@ def _diag_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool,
     U0 = U[0]
     p = ga.dpos
     w = ga.dw
+    ident = p.shape[0] == 0  # identity map marker (see GroupArrays.dpos)
     md = ga.Ad.shape[0]
 
-    asinv = w * U0[p, p]
+    diagU = jnp.diagonal(U0)
+    asinv = w * (diagU if ident else diagU[p])
     rno = jnp.sum(U0 * U0, axis=0)  # diag(U @ U), U symmetric
-    trsas = w * rno[p]
+    trsas = w * (rno if ident else rno[p])
     trU = jnp.trace(U0)
 
     M = None
@@ -305,16 +316,15 @@ def _diag_schur(ga: GroupArrays, U: jnp.ndarray, m: int, with_m: bool,
         trsas = trsas.at[ga.didx].add(jnp.trace(B, axis1=-2, axis2=-1))
 
     if with_m:
-        Usub = U0[p][:, col.dpos]
+        Usub = U0 if ident else U0[p][:, col.dpos]
         M = (w[:, None] * col.dw[None, :]) * (Usub * Usub)
         if md:
             Mdd = jnp.einsum("ipq,jpq->ij", B, ga.Ad, optimize=True)
             Ed = jax.nn.one_hot(ga.didx, m, dtype=U.dtype)  # [md, m]
             M = M + Ed.T @ (Mdd @ Ed)
             # dense x diag cross: w_i B_d[p_i, p_i]
-            Xc = col.dw[None, :] * jnp.diagonal(B, axis1=-2, axis2=-1)[
-                :, col.dpos
-            ]
+            dB = jnp.diagonal(B, axis1=-2, axis2=-1)
+            Xc = col.dw[None, :] * (dB if ident else dB[:, col.dpos])
             Mx = Ed.T @ Xc
             M = M + Mx + Mx.T
 
@@ -492,7 +502,8 @@ def group_hsd(ga: GroupArrays, U: jnp.ndarray, m: int) -> HSDOut:
     trUCU = jnp.trace(T, axis1=-2, axis2=-1).sum()
 
     if ga.dpos is not None:
-        asinvcsinv = ga.dw * jnp.diagonal(T[0])[ga.dpos]
+        dT = jnp.diagonal(T[0])
+        asinvcsinv = ga.dw * (dT if ga.dpos.shape[0] == 0 else dT[ga.dpos])
     elif ga.spos is not None:
         P, V = ga.spos, ga.sval
         Tsup = T[0][P[:, :, :, None], P[:, :, None, :]]
@@ -518,7 +529,8 @@ def group_hsd(ga: GroupArrays, U: jnp.ndarray, m: int) -> HSDOut:
 def group_atx(ga: GroupArrays, X: jnp.ndarray, m: int) -> jnp.ndarray:
     """A(X): per-constraint traces <A_i, X_blk> given X [g,n,n]."""
     if ga.dpos is not None:
-        out = ga.dw * jnp.diagonal(X[0])[ga.dpos]
+        dX = jnp.diagonal(X[0])
+        out = ga.dw * (dX if ga.dpos.shape[0] == 0 else dX[ga.dpos])
     elif ga.spos is not None:
         P, V = ga.spos, ga.sval
         Xsup = X[0][P[:, :, :, None], P[:, :, None, :]]
@@ -566,8 +578,12 @@ def group_schur_matvec(ga: GroupArrays, U: jnp.ndarray, v: jnp.ndarray,
         # diagonal rank-1 bucket: M_ij = w_i w_j (U_{p_i p_j})^2, so
         # M v = w * (Usq[p] @ segsum(w v)) — O(m n), no n^3 congruence
         U0 = U[0]
-        z = jax.ops.segment_sum(ga.dw * v, ga.dpos, num_segments=U0.shape[0])
-        return ga.dw * ((U0 * U0)[ga.dpos] @ z)
+        wv = ga.dw * v
+        Usq = U0 * U0
+        if ga.dpos.shape[0] == 0:  # identity map
+            return ga.dw * (Usq @ wv)
+        z = jax.ops.segment_sum(wv, ga.dpos, num_segments=U0.shape[0])
+        return ga.dw * (Usq[ga.dpos] @ z)
     W = group_dual(ga, 0.0, 1.0, v, 0.0)
     T = jnp.einsum("gpq,gqr,grs->gps", U, W, U, optimize=True)
     return group_atx(ga, T, m)
@@ -582,7 +598,10 @@ def group_schur_diag(ga: GroupArrays, U: jnp.ndarray, m: int) -> jnp.ndarray:
     d = jnp.zeros((m,), dtype)
     if ga.dpos is not None:
         U0 = U[0]
-        d = ga.dw * ga.dw * (U0[ga.dpos, ga.dpos] ** 2)
+        dU = jnp.diagonal(U0)
+        d = ga.dw * ga.dw * (
+            (dU if ga.dpos.shape[0] == 0 else dU[ga.dpos]) ** 2
+        )
     elif ga.spos is not None:
         U0 = U[0]
         P, V = ga.spos, ga.sval

@@ -184,7 +184,22 @@ def _group_hsd_part(ga: GroupArrays, U, T, m: int, idx, ndev: int):
 # ----------------------------------------------------------------------
 
 
-class ShardedConeSystem(ConeSystem):
+class _ShardedOperatorMixin:
+    """Mesh composition for the matrix-free Schur operator: the per-group
+    inverses U = S^-1 are RESHARDED over their row axis, so the operator
+    matvec's congruences and gathers partition across devices (GSPMD
+    inserts the psum/all-gathers over ICI).  M still never materializes
+    anywhere — the memory contract of operator mode survives the mesh."""
+
+    def _shard_inverses(self, Us):
+        sh = NamedSharding(self.mesh, P(None, self.axis, None))
+        return tuple(jax.device_put(U, sh) for U in Us)
+
+    def inverses(self, L):
+        return self._shard_inverses(super().inverses(L))
+
+
+class ShardedConeSystem(_ShardedOperatorMixin, ConeSystem):
     """ConeSystem whose assembly / KKT build are row-sharded over a mesh.
 
     Everything the outer IPM touches keeps the same interface; only the
@@ -377,7 +392,7 @@ class ShardedConeSystem(ConeSystem):
 # ----------------------------------------------------------------------
 
 
-class RowShardedConeSystem(ConeSystem):
+class RowShardedConeSystem(_ShardedOperatorMixin, ConeSystem):
     """Constraint-row-sharded assembly for single-block groups at scale.
 
     The slot-major layout (ops.schur.GroupArrays) indexes the low-rank

@@ -419,6 +419,10 @@ class DualIPM:
         if mode == "free":
             return True
         if mode != "auto" or self.mesh is not None:
+            # auto never engages on a mesh (the mesh path row-shards a
+            # materialized M); explicit kkt_mode="free" composes with
+            # the mesh via the sharded operator matvec (psum over
+            # bucket partials — see parallel.schur sharded kkt_pcg)
             return False
         return self.m >= self.params.kkt_free_threshold
 
@@ -598,7 +602,10 @@ class DualIPM:
         if worst2 <= 1e-06:
             return X
         # tier 3: materialize M once and direct-factor (only when a
-        # dense m x m plus factor workspace plausibly fits)
+        # dense m x m plus factor workspace plausibly fits).  The build
+        # + factor go through the regular non-free machinery so the
+        # mesh path (padded, row-sharded M -> distributed Cholesky)
+        # composes too.
         if self.m <= self.params.op_materialize_cap:
             self.log.info(
                 f"operator CG stalled twice (rel {worst2:.2e}); "
@@ -608,13 +615,19 @@ class DualIPM:
                 self._factor_stats.get("op_escalations", 0) + 1
             )
             kkt = self.cones.build_kkt(self.L, self._op_slp, self.Rd, "inf")
-            M = kkt.M + jnp.diag(self._op_bound) + self._op_reg * jnp.eye(
-                self.m, dtype=self.dtype
-            )
-            saved = self.Mfac
-            self._direct_factor(M)
-            self._op_escalated = self.Mfac
-            self.Mfac = saved
+            d = self._op_bound + self._op_reg
+            if kkt.M.shape[0] != self.m:  # row-sharded padded M
+                d = jnp.pad(d, (0, kkt.M.shape[0] - self.m))
+            saved_kkt, saved_fac, saved_free = self.kkt, self.Mfac, self.kkt_free
+            try:
+                self.kkt = kkt._replace(M=kkt.M + jnp.diag(d))
+                self.kkt_free = False
+                self.factor_kkt(force_direct=True)
+                self._op_escalated = self.Mfac
+            finally:
+                self.kkt, self.Mfac, self.kkt_free = (
+                    saved_kkt, saved_fac, saved_free,
+                )
             return self._solve_escalated(B)
         self.log.info(
             f"operator CG stalled (rel {worst2:.2e}); m too large to "

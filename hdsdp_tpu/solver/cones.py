@@ -408,7 +408,13 @@ class ConeSystem:
             elif r == 1 and np.all(nnz_rows[0] <= 1):
                 p = np.argmax(np.abs(Fs[0]), axis=1)
                 v = Fs[0][np.arange(m), p]
-                dpos = jnp.asarray(p, jnp.int32)
+                if m == g.dim and np.array_equal(p, np.arange(m)):
+                    # identity map p_i = i (maxcut/torus): a length-0
+                    # dpos marks it at trace time so every gather
+                    # through p is skipped (see GroupArrays.dpos)
+                    dpos = jnp.zeros((0,), jnp.int32)
+                else:
+                    dpos = jnp.asarray(p, jnp.int32)
                 dw = jnp.asarray(lams[0] * v * v, dtype)
             elif (
                 nnz_rows.max(initial=0) <= 4

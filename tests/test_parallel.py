@@ -127,13 +127,19 @@ def test_distributed_cholesky(mesh):
     assert not bool(bad.ok)
 
 
-def test_row_sharded_kkt_matches_single(mesh):
+@pytest.mark.parametrize("family", ["theta", "maxcut"])
+def test_row_sharded_kkt_matches_single(mesh, family):
     """RowShardedConeSystem: M is born row-sharded (no device holds all
-    rows) and matches the single-chip build elementwise."""
-    from hdsdp_tpu.models.synthetic import theta_sdpa
+    rows) and matches the single-chip build elementwise.  theta covers
+    the bounded-support bucket, maxcut the identity-diagonal bucket."""
+    from hdsdp_tpu.models.synthetic import maxcut_sdpa, theta_sdpa
     from hdsdp_tpu.parallel.schur import RowShardedConeSystem
 
-    data = theta_sdpa(n=50, n_edges=300, seed=4)
+    data = (
+        theta_sdpa(n=50, n_edges=300, seed=4)
+        if family == "theta"
+        else maxcut_sdpa(n=96, seed=4)
+    )
     prob = SDPProblem.from_sdpa(data)
     ref = ConeSystem(prob)
     sh = RowShardedConeSystem(prob, mesh)
@@ -244,3 +250,30 @@ def test_row_sharded_end_to_end(mesh):
     # within solver tolerance
     assert r_sh.d_obj == pytest.approx(r_ref.d_obj, rel=1e-5)
     assert np.max(np.abs(r_sh.dimacs)) < 1e-2
+
+
+def test_mesh_operator_mode_end_to_end(mesh):
+    """Operator mode (matrix-free KKT) composed with the mesh: the
+    per-group inverses are row-resharded so the operator matvec
+    partitions across devices, and M never materializes anywhere —
+    the e2e optimum must match the single-chip dense path."""
+    from hdsdp_tpu.models.synthetic import theta_sdpa
+
+    data = theta_sdpa(n=40, n_edges=200, seed=9)
+    prob = SDPProblem.from_sdpa(data)
+    r_ref = HDSDPSolver(prob, verbose=False).optimize()
+    s = HDSDPSolver(prob, mesh=mesh, kkt_mode="free", verbose=False)
+    r = s.optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.d_obj == pytest.approx(r_ref.d_obj, rel=1e-5)
+    # memory contract: the solve ran the operator CG (never a factor of
+    # a materialized M), and the operator's U = S^-1 is sharded over the
+    # row axis on the mesh
+    assert s.ipm.kkt_free
+    assert r.stats.get("opcg_iters", 0) > 0
+    ipm = s.ipm
+    S, s_lp = ipm.cones.assemble(1.0, -1.0, ipm.y, 1e-4)
+    ok, L = ipm.cones.factor(S, s_lp)
+    Us = ipm.cones.inverses(L)
+    shard = Us[0].addressable_shards[0].data
+    assert shard.shape[1] < Us[0].shape[1]  # row axis split across devices
