@@ -77,14 +77,18 @@ for ev in getattr(ipm, "_maker_trace", [])[-25:]:
 # ---- re-derive the raw parts for the maker the check used -------------
 use_acc = ipm.maker_acc.mu > 0.0 and ipm.status == "PRIMAL_DUAL_OPTIMAL"
 maker = ipm.maker_acc if use_acc else ipm.maker_inacc
-out = dimacs_mod._dimacs_kernel(
+cm = dimacs_mod._consistent_maker_solve(ipm, maker)
+if cm is None:
+    print(json.dumps({"maker_used": None}), flush=True)
+    sys.exit(0)
+Us, sbar_lp, dy = cm
+out = dimacs_mod._dimacs_eval(
     ipm.cones.groups, ipm.cones.lp, ipm.b,
     jnp.asarray(ipm.y, ipm.dtype), jnp.asarray(ipm.Rd, ipm.dtype),
     jnp.asarray(ipm.perturb, ipm.dtype),
-    jnp.asarray(maker.mu, ipm.dtype), jnp.asarray(maker.y, ipm.dtype),
-    jnp.asarray(maker.dy, ipm.dtype), ipm.m,
+    jnp.asarray(maker.mu, ipm.dtype), dy, Us, sbar_lp, ipm.m,
 )
-ok, p_obj, d_obj, compl, min_eval, p_inf_norm = (float(v) for v in out)
+p_obj, d_obj, compl, min_eval, p_inf_norm = (float(v) for v in out)
 print(json.dumps({
     "maker_used": "acc" if use_acc else "inacc",
     "maker_mu": maker.mu,

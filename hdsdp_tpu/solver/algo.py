@@ -550,6 +550,10 @@ class DualIPM:
         self._op_Us = self._op_diag = self._op_bound = self._op_slp = None
         self._op_escalated = None
         if hasattr(self, "_cg"):
+            # keep the engagement evidence (the live object holds a
+            # stale [m, m] preconditioner) — read by tests/benchmarks
+            self._factor_stats["cg_n_factor"] = self._cg.n_factor
+            self._factor_stats["cg_n_solve"] = self._cg.n_solve
             del self._cg
         if hasattr(self.cones, "_lz_warm"):
             self.cones._lz_warm = None

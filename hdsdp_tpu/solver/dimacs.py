@@ -3,14 +3,27 @@ interface/hdsdp.c:771-933, and HConeGetPrimal / sdpDenseConeGetPrimal,
 hdsdp_conic_sdp.c:2395-2446).
 
 The primal matrix per cone is recovered from a recorded "maker"
-(mu*, y*, dy*) as
+(mu*, y*) as
 
-    X = mu* ( Sbar^-1 + Sbar^-1 W Sbar^-1 ),   Sbar = C - A'y*,  W = A'(dy*)
+    X = mu* ( Sbar^-1 + Sbar^-1 W Sbar^-1 ),   Sbar = C - A'y*,  W = A'(dy)
 
-computed here with batched Cholesky + congruence instead of the reference's
-two triangular solve sweeps.  The full recovery + 6-error computation is
-ONE jitted dispatch (`_dimacs_kernel`); only the maker-retry policy runs
-on host.
+computed with batched Cholesky + congruence instead of the reference's
+two triangular solve sweeps.  Unlike the reference (which reuses the
+in-solve dy step), ``dy`` is RE-SOLVED at check time against M and
+ASinv built from the SAME S^-1 used for the recovery congruence:
+
+    (M(U) + D_bound) dy = b/mu* - (ASinv(U) + u^-1 - l^-1),  U = Sbar^-1.
+
+This makes the triple (mu*, U, dy) exactly self-consistent, so
+A(X) - b = mu* (solve residual + bound-cone terms) regardless of the
+precision the SOLVE-time factors ran at.  Without it, reduced-precision
+cone factors (DD/MXU, ~2^-45) leave the recorded dy consistent with a
+*nearby* S-tilde, and the recovery against the exact f64 Sbar exposes
+the kappa(S)-amplified gap: observed 1e-4..1e-3 DIMACS plateau at
+maxG51/maxG55/torus-22 in rounds 2-3, vs ~5e-9 with this re-solve.
+
+In operator mode (kkt_free, M never materialized) the re-solve runs the
+same matrix-free Jacobi-PCG as the solve path.
 """
 
 from __future__ import annotations
@@ -23,7 +36,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from hdsdp_tpu.ops import chol as chol_ops
-from hdsdp_tpu.solver.cones import _assemble, _atx, _ctx, _factor
+from hdsdp_tpu.ops import schur as schur_ops
+from hdsdp_tpu.solver.cones import (
+    _assemble,
+    _atx,
+    _ctx,
+    _factor,
+    _inverses,
+    _kkt_diag,
+    _kkt_pcg,
+)
 
 
 # above this block dimension the f64 min-eigenvalue check switches from
@@ -48,7 +70,9 @@ def _lanczos_min_one(X: jnp.ndarray, krylov: int = 64,
     eig at any n.  Resolves lambda_min to ~1e-4 ||X|| even on clustered
     bottoms — well inside the 1e-2 DIMACS acceptance gate the value
     feeds (ref hdsdp.c:905-921); isolated negative directions converge
-    to full precision."""
+    to full precision.  Lanczos approaches lambda_max(-X) from BELOW,
+    so the estimate never overstates the negativity of X (DIMACS err2
+    cannot be inflated by an unconverged sweep)."""
     n = X.shape[-1]
 
     def sweep(v):
@@ -129,45 +153,97 @@ def _batch_min_eval(Xg: jnp.ndarray) -> jnp.ndarray:
     return jnp.min(jnp.einsum("...i,...ij,...j->...", v, Xg, v))
 
 
-def recover_primal(ipm, maker) -> Optional[Tuple[List[jnp.ndarray], Optional[jnp.ndarray]]]:
-    """X per SDP group + LP primal vector for a given maker; None if the
-    maker's dual check matrix is not PD (recovery step infeasible)."""
+# ----------------------------------------------------------------------
+# check-time KKT at the maker point (consistency re-solve)
+# ----------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("m", "hp", "with_m"))
+def _maker_kkt(groups, lp, b, mk_mu, mk_y, perturb, lo, up, m: int,
+               hp: bool, with_m: bool):
+    """Factor Sbar at the maker point, compute U = Sbar^-1, and build
+    the KKT system (M + bound diag, rhs) from the SAME U."""
+    Sbar, sbar_lp = _assemble(groups, lp, 1.0, -1.0, mk_y, perturb)
+    ok, Lbar = _factor(Sbar, sbar_lp)
+    Us = _inverses(Lbar, hp=hp)
+
+    dtype = b.dtype
+    M = jnp.zeros((m, m), dtype) if with_m else None
+    asinv = jnp.zeros((m,), dtype)
+    for ga, U in zip(groups, Us):
+        out = schur_ops.group_schur(ga, U, m, with_m=with_m, hp=hp)
+        if with_m:
+            M = M + out.M
+        asinv = asinv + out.asinv
+    if lp is not None:
+        out = schur_ops.lp_schur(lp, sbar_lp, m, with_m=with_m)
+        if with_m:
+            M = M + out.M
+        asinv = asinv + out.asinv
+
+    # bound cone at the maker point, tau = 1 (ref sBoundConeGetKKT)
+    li = 1.0 / (mk_y - lo)
+    ui = 1.0 / (up - mk_y)
+    d_bound = li * li + ui * ui
+    if with_m:
+        M = M + jnp.diag(d_bound)
+    rhs = b / mk_mu - (asinv + ui - li)
+    return ok, Us, sbar_lp, M, d_bound, rhs
+
+
+@jax.jit
+def _chol_solve_ladder(M, rhs):
+    """f64 Cholesky solve with an in-graph regularization ladder and one
+    residual-correction sweep (the check-time system is factored once)."""
+    L = jnp.linalg.cholesky(M)
+    ok = jnp.all(jnp.isfinite(L))
+
+    def retry(_):
+        base = jnp.max(jnp.diag(M)) * 1e-14 + 1e-300
+
+        def try_reg(k, carry):
+            Lc, okc = carry
+            reg = base * (10.0 ** (2 * k))
+            Lr = jnp.linalg.cholesky(
+                M + reg * jnp.eye(M.shape[0], dtype=M.dtype)
+            )
+            okr = jnp.all(jnp.isfinite(Lr))
+            take = jnp.logical_and(jnp.logical_not(okc), okr)
+            return jnp.where(take, Lr, Lc), jnp.logical_or(okc, okr)
+
+        return jax.lax.fori_loop(0, 6, try_reg, (L, jnp.asarray(False)))
+
+    L, ok = jax.lax.cond(ok, lambda _: (L, ok), retry, None)
+    L = jnp.where(ok, L, jnp.eye(M.shape[0], dtype=M.dtype))
+    x = chol_ops.chol_solve(L, rhs)
+    x = x + chol_ops.chol_solve(L, rhs - M @ x)  # one refinement sweep
+    return ok, x
+
+
+def _solve_maker_dy(ipm, Us, sbar_lp, M, d_bound, rhs):
+    """dy from the check-time KKT: dense Cholesky when M exists, else
+    the matrix-free Jacobi-PCG (operator mode)."""
+    if M is not None:
+        ok, dy = _chol_solve_ladder(M, rhs)
+        return dy if bool(ok) else None
     cones = ipm.cones
-    # Sbar = C - A'y (+ perturb, folded in as for BUFFER_DUALCHECK)
-    Sbar, sbar_lp = cones.assemble(1.0, -1.0, maker.y, ipm.perturb)
-    ok, Lbar = cones.factor(Sbar, sbar_lp)
-    if not bool(ok):
-        return None
-    # W = +A'(dy)  (BUFFER_DUALSTEP: no perturbation)
-    W, w_lp = cones.assemble(0.0, 1.0, maker.dy, 0.0)
-
-    X_list = []
-    for Lg, Wg in zip(Lbar, W):
-        U = chol_ops.chol_inverse(Lg)
-        X = maker.mu * (U + _uwu(U, Wg))
-        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
-        X_list.append(X)
-
-    x_lp = None
-    if cones.has_lp:
-        x_lp = maker.mu * (sbar_lp + w_lp) / (sbar_lp * sbar_lp)
-    return X_list, x_lp
+    diag = _kkt_diag(cones.groups, cones.lp, Us, sbar_lp, ipm.m) + d_bound
+    pinv = 1.0 / jnp.maximum(diag, 1e-300)
+    X, res, _ = _kkt_pcg(
+        cones.groups, cones.lp, Us, sbar_lp, d_bound, pinv, rhs[:, None],
+        ipm.m, 1e-10, 1e-10, 4 * ipm.params.kkt_free_maxiter,
+    )
+    return X[:, 0]
 
 
 @partial(jax.jit, static_argnames=("m",))
-def _dimacs_kernel(groups, lp, b, y, Rd, perturb, mk_mu, mk_y, mk_dy, m: int):
-    """(ok, errs_raw..., p_obj, d_obj, compl, min_eval, p_infeas_norm).
-
-    Returns raw (unscaled) quantities; the host applies the scaling factors
-    and the reference's error normalizations.
-    """
-    Sbar, sbar_lp = _assemble(groups, lp, 1.0, -1.0, mk_y, perturb)
-    ok, Lbar = _factor(Sbar, sbar_lp)
-    W, w_lp = _assemble(groups, lp, 0.0, 1.0, mk_dy, 0.0)
+def _dimacs_eval(groups, lp, b, y, Rd, perturb, mk_mu, dy, Us, sbar_lp,
+                 m: int):
+    """Recovery + raw error parts from the consistent (mu*, U, dy)."""
+    W, w_lp = _assemble(groups, lp, 0.0, 1.0, dy, 0.0)
 
     X_list = []
-    for Lg, Wg in zip(Lbar, W):
-        U = chol_ops.chol_inverse(Lg)
+    for U, Wg in zip(Us, W):
         X = mk_mu * (U + _uwu(U, Wg))
         X_list.append(0.5 * (X + jnp.swapaxes(X, -1, -2)))
     x_lp = (
@@ -195,7 +271,49 @@ def _dimacs_kernel(groups, lp, b, y, Rd, perturb, mk_mu, mk_y, mk_dy, m: int):
         min_eval = jnp.minimum(min_eval, jnp.min(x_lp))
 
     p_inf_norm = jnp.linalg.norm(ax - b)
-    return ok, p_obj, d_obj, compl, min_eval, p_inf_norm
+    return p_obj, d_obj, compl, min_eval, p_inf_norm
+
+
+def _consistent_maker_solve(ipm, maker):
+    """(Us, sbar_lp, dy) for the maker, or None if Sbar is not PD."""
+    cones = ipm.cones
+    hp = bool(getattr(cones, "kkt_hp", False))
+    with_m = not ipm.kkt_free
+    ok, Us, sbar_lp, M, d_bound, rhs = _maker_kkt(
+        cones.groups, cones.lp, ipm.b,
+        jnp.asarray(maker.mu, ipm.dtype),
+        jnp.asarray(maker.y, ipm.dtype),
+        jnp.asarray(ipm.perturb, ipm.dtype),
+        jnp.asarray(ipm.bound_lo, ipm.dtype),
+        jnp.asarray(ipm.bound_up, ipm.dtype),
+        ipm.m, hp, with_m,
+    )
+    if not bool(ok):
+        return None
+    dy = _solve_maker_dy(ipm, Us, sbar_lp, M, d_bound, rhs)
+    del M, rhs  # free the m x m system before the recovery congruences
+    if dy is None:
+        return None
+    return Us, sbar_lp, dy
+
+
+def recover_primal(ipm, maker) -> Optional[Tuple[List[jnp.ndarray], Optional[jnp.ndarray]]]:
+    """X per SDP group + LP primal vector for a given maker; None if the
+    maker's dual check matrix is not PD (recovery step infeasible)."""
+    out = _consistent_maker_solve(ipm, maker)
+    if out is None:
+        return None
+    Us, sbar_lp, dy = out
+    cones = ipm.cones
+    W, w_lp = cones.assemble(0.0, 1.0, dy, 0.0)
+    X_list = []
+    for U, Wg in zip(Us, W):
+        X = maker.mu * (U + _uwu(U, Wg))
+        X_list.append(0.5 * (X + jnp.swapaxes(X, -1, -2)))
+    x_lp = None
+    if cones.has_lp:
+        x_lp = maker.mu * (sbar_lp + w_lp) / (sbar_lp * sbar_lp)
+    return X_list, x_lp
 
 
 def check_solution(ipm) -> np.ndarray:
@@ -281,7 +399,11 @@ def _dimacs_errors(ipm, maker) -> Optional[np.ndarray]:
         p_inf_norm = float(jnp.linalg.norm(ax - ipm.b))
         return _errors_from_parts(ipm, p_obj, d_obj, compl, min_eval, p_inf_norm)
 
-    out = _dimacs_kernel(
+    out = _consistent_maker_solve(ipm, maker)
+    if out is None:
+        return None
+    Us, sbar_lp, dy = out
+    parts = _dimacs_eval(
         cones.groups,
         cones.lp,
         ipm.b,
@@ -289,14 +411,14 @@ def _dimacs_errors(ipm, maker) -> Optional[np.ndarray]:
         jnp.asarray(ipm.Rd, ipm.dtype),
         jnp.asarray(ipm.perturb, ipm.dtype),
         jnp.asarray(maker.mu, ipm.dtype),
-        jnp.asarray(maker.y, ipm.dtype),
-        jnp.asarray(maker.dy, ipm.dtype),
+        dy,
+        Us,
+        sbar_lp,
         ipm.m,
     )
-    ok, p_obj, d_obj, compl, min_eval, p_inf_norm = (np.asarray(v) for v in out)
-    if not bool(ok):
-        return None
+    p_obj, d_obj, compl, min_eval, p_inf_norm = (
+        float(np.asarray(v)) for v in parts
+    )
     return _errors_from_parts(
-        ipm, float(p_obj), float(d_obj), float(compl), float(min_eval),
-        float(p_inf_norm),
+        ipm, p_obj, d_obj, compl, min_eval, p_inf_norm,
     )
