@@ -45,12 +45,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 # est_cold_s = worst case with a cold-ish compile cache; used for the
 # budget check.  last_recorded_s feeds the "skipped" line (stale).
 CASES = {
+    # DIMACS gates reflect the round-4 consistent check-time re-solve
+    # (solver/dimacs.py): ~5e-9 measured on the worst path; anything
+    # above 1e-5/1e-5/1e-5 is a real regression (round-3 plateau was
+    # 1e-4..6.6e-4).  torus22 pins fused=False: the proven host-loop
+    # configuration (fused iter phase-B exceeded HBM at this size, r3).
     "maxG51": ("maxcut", dict(n=1000), 23.7, -261.4270223, 1e-5, {},
-               30.0, 600.0, 10.6),
-    "maxG55": ("maxcut", dict(n=5000), 2931.9, -1346.6413695, 1e-4, {},
-               90.0, 900.0, 63.3),
-    "torus22": ("torus", dict(side=22), 22274.8, -2729.8678860, 1e-3,
-                dict(psdp=0), 600.0, 2400.0, 508.2),
+               30.0, 600.0, 6.3),
+    "maxG55": ("maxcut", dict(n=5000), 2931.9, -1346.6413695, 1e-5, {},
+               90.0, 900.0, 75.5),
+    "torus22": ("torus", dict(side=22), 22274.8, -2729.8678860, 1e-5,
+                dict(psdp=0, fused=False), 600.0, 2400.0, 508.2),
 }
 ORDER = ["maxG51", "maxG55", "torus22"]
 

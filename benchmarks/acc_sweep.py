@@ -43,7 +43,10 @@ CONFIGS = [
     ("fused_cone_f64", dict(cone_fp="off")),
 ]
 
+only = set(sys.argv[2:])
 for label, ov in CONFIGS:
+    if only and label not in only:
+        continue
     t0 = time.time()
     s = HDSDPSolver(prob, verbose=False, **ov)
     r = s.optimize()
