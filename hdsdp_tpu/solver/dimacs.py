@@ -162,9 +162,47 @@ def _batch_min_eval(Xg: jnp.ndarray) -> jnp.ndarray:
 def _maker_kkt(groups, lp, b, mk_mu, mk_y, perturb, lo, up, m: int,
                hp: bool, with_m: bool):
     """Factor Sbar at the maker point, compute U = Sbar^-1, and build
-    the KKT system (M + bound diag, rhs) from the SAME U."""
+    the KKT system (M + bound diag, rhs) from the SAME U.
+
+    The LAST accurate maker sits closest to the cone boundary
+    (min-eig(Sbar) ~ mu* scale), so the plain f64 factor can fail
+    marginally there — observed at torus-22 with mu* = 3e-9, where the
+    check would otherwise silently fall back to the 1e-5-quality inacc
+    maker (the real round-3 accuracy ceiling).  A diagonal shift ladder
+    keeps the acc maker usable: delta only redefines the (still PSD)
+    recovery map, and because dy is re-solved against M/ASinv built
+    from the SAME shifted U, the consistency identity A(X) ~ b is
+    unaffected; the shift's effect on the errors is O(mu* delta), far
+    below gap level for delta ~ 1e-14 ||Sbar||."""
     Sbar, sbar_lp = _assemble(groups, lp, 1.0, -1.0, mk_y, perturb)
     ok, Lbar = _factor(Sbar, sbar_lp)
+
+    scale = jnp.zeros((), b.dtype)
+    for Sg in Sbar:
+        scale = jnp.maximum(
+            scale, jnp.max(jnp.abs(jnp.diagonal(Sg, axis1=-2, axis2=-1)))
+        )
+
+    def shift_cond(carry):
+        k, ok_c, _ = carry
+        return jnp.logical_and(jnp.logical_not(ok_c), k < 5)
+
+    def shift_body(carry):
+        k, _, L_c = carry
+        delta = scale * 1e-14 * (10.0 ** (2 * k))
+        S_shift = tuple(
+            Sg + delta * jnp.eye(Sg.shape[-1], dtype=Sg.dtype)
+            for Sg in Sbar
+        )
+        ok_s, L_s = _factor(S_shift, sbar_lp)
+        L_c = tuple(
+            jnp.where(ok_s, Ls, Lc) for Ls, Lc in zip(L_s, L_c)
+        )
+        return k + 1, ok_s, L_c
+
+    _, ok, Lbar = jax.lax.while_loop(
+        shift_cond, shift_body, (jnp.asarray(0), ok, Lbar)
+    )
     Us = _inverses(Lbar, hp=hp)
 
     dtype = b.dtype
