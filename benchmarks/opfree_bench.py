@@ -42,10 +42,58 @@ print(f"[opfree] m={prob.m} n={max(prob.block_dims)} presolve "
       f"{time.time() - t0:.1f}s  dense-M-would-be "
       f"{prob.m * prob.m * 8 / 2**30:.1f} GB", flush=True)
 
+STATE = f"/tmp/opfree_{n}_{edges}_state.npz"
+
 t0 = time.time()
 solver = HDSDPSolver(prob)
-r = solver.optimize()
-t = time.time() - t0
+if os.path.exists(STATE) and os.environ.get("OPFREE_RESUME"):
+    # resume the post-solve DIMACS check from a saved end state (the
+    # flaky remote-compile pipeline can kill the one-time check
+    # program compile; the 50-min solve should not have to repeat)
+    from hdsdp_tpu.solver import algo, dimacs as dm
+    import jax.numpy as jnp
+
+    z = np.load(STATE)
+    ipm = algo.DualIPM(prob, solver.params)
+    ipm.y = jnp.asarray(z["y"]); ipm.Rd = float(z["Rd"])
+    ipm.perturb = float(z["perturb"]); ipm.n_iter = int(z["n_iter"])
+    ipm.status = str(z["status"])
+    ipm.maker_acc = algo.Maker(mu=float(z["acc_mu"]), y=jnp.asarray(z["acc_y"]), dy=None)
+    ipm.maker_inacc = algo.Maker(mu=float(z["inacc_mu"]), y=jnp.asarray(z["inacc_y"]), dy=None)
+    solver.ipm = ipm
+    errs = dm.check_solution(ipm)
+    from hdsdp_tpu.solver.solver import Result
+    r = Result(status=ipm.status, p_obj=ipm.p_obj_val, d_obj=ipm.d_obj_val,
+               gap=ipm.p_obj_val - ipm.d_obj_val, y=np.asarray(ipm.y),
+               dimacs=errs, n_iters=ipm.n_iter,
+               solve_time=float(z["solve_s"]), stats=dict(ipm._factor_stats))
+    t = float(z["solve_s"])
+else:
+    from hdsdp_tpu.solver import algo
+
+    ipm = algo.DualIPM(prob, solver.params)
+    solver.ipm = ipm
+    ipm.solve()
+    solve_s = time.time() - t0
+    np.savez(
+        STATE, y=np.asarray(ipm.y), Rd=ipm.Rd, perturb=ipm.perturb,
+        n_iter=ipm.n_iter, status=ipm.status, solve_s=solve_s,
+        acc_mu=ipm.maker_acc.mu,
+        acc_y=np.asarray(ipm.maker_acc.y) if ipm.maker_acc.mu > 0 else np.zeros(1),
+        inacc_mu=ipm.maker_inacc.mu,
+        inacc_y=np.asarray(ipm.maker_inacc.y) if ipm.maker_inacc.mu > 0 else np.zeros(1),
+    )
+    print(f"[opfree] solve done {ipm.status} {solve_s:.1f}s; state saved",
+          flush=True)
+    from hdsdp_tpu.solver import dimacs as dm
+
+    errs = dm.check_solution(ipm)
+    from hdsdp_tpu.solver.solver import Result
+    r = Result(status=ipm.status, p_obj=ipm.p_obj_val, d_obj=ipm.d_obj_val,
+               gap=ipm.p_obj_val - ipm.d_obj_val, y=np.asarray(ipm.y),
+               dimacs=errs, n_iters=ipm.n_iter, solve_time=time.time() - t0,
+               stats=dict(ipm._factor_stats))
+    t = time.time() - t0
 
 ipm = solver.ipm
 peak = None

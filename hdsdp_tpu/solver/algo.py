@@ -593,16 +593,29 @@ class DualIPM:
         X, worst = pcg(B, self.params.kkt_free_maxiter)
         if worst <= 1e-06:
             return X
-        # tier 2: same CG, 4x budget, warm-started via residual correction
+        # tier 2: 4x budget as RESTARTED chunks of kkt_free_maxiter,
+        # warm-started via residual correction between dispatches.  One
+        # monolithic 4x while_loop dispatch runs long enough for the
+        # remote TPU worker to recycle it (observed: deterministic
+        # "worker crashed or restarted" at m = 25001); chunking keeps
+        # every dispatch the same size as tier 1.
         self.log.info(f"operator CG stalled (rel {worst:.2e}); extending")
-        dX, worst2 = pcg(
-            B - self.cones.kkt_matvec(
+        worst2 = worst
+        bscale = jnp.maximum(jnp.linalg.norm(B, axis=0), 1.0)
+        for _ in range(8):
+            R = B - self.cones.kkt_matvec(
                 self._op_Us, self._op_slp,
                 self._op_bound + self._op_reg, X,
-            ),
-            4 * self.params.kkt_free_maxiter,
+            )
+            worst2 = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
+            if worst2 <= 1e-06:
+                return X
+            dX, _ = pcg(R, self.params.kkt_free_maxiter)
+            X = X + dX
+        R = B - self.cones.kkt_matvec(
+            self._op_Us, self._op_slp, self._op_bound + self._op_reg, X,
         )
-        X = X + dX
+        worst2 = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
         if worst2 <= 1e-06:
             return X
         # tier 3: materialize M once and direct-factor (only when a
@@ -618,16 +631,28 @@ class DualIPM:
             self._factor_stats["op_escalations"] = (
                 self._factor_stats.get("op_escalations", 0) + 1
             )
-            kkt = self.cones.build_kkt(self.L, self._op_slp, self.Rd, "inf")
-            d = self._op_bound + self._op_reg
-            if kkt.M.shape[0] != self.m:  # row-sharded padded M
-                d = jnp.pad(d, (0, kkt.M.shape[0] - self.m))
             saved_kkt, saved_fac, saved_free = self.kkt, self.Mfac, self.kkt_free
             try:
+                kkt = self.cones.build_kkt(
+                    self.L, self._op_slp, self.Rd, "inf"
+                )
+                d = self._op_bound + self._op_reg
+                if kkt.M.shape[0] != self.m:  # row-sharded padded M
+                    d = jnp.pad(d, (0, kkt.M.shape[0] - self.m))
                 self.kkt = kkt._replace(M=kkt.M + jnp.diag(d))
                 self.kkt_free = False
                 self.factor_kkt(force_direct=True)
                 self._op_escalated = self.Mfac
+            except Exception as e:  # compile/OOM at this size: the
+                # best CG iterate (rel ~1e-5 here) is still a usable
+                # step — the IPM self-corrects and the final DIMACS
+                # check re-solves its own consistent system
+                self.log.info(
+                    f"materialized escalation unavailable ({e!r:.120}); "
+                    "returning best CG iterate"
+                )
+                self._op_escalated = None
+                return X
             finally:
                 self.kkt, self.Mfac, self.kkt_free = (
                     saved_kkt, saved_fac, saved_free,

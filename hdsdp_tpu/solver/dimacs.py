@@ -267,10 +267,30 @@ def _solve_maker_dy(ipm, Us, sbar_lp, M, d_bound, rhs):
     cones = ipm.cones
     diag = _kkt_diag(cones.groups, cones.lp, Us, sbar_lp, ipm.m) + d_bound
     pinv = 1.0 / jnp.maximum(diag, 1e-300)
-    X, res, _ = _kkt_pcg(
-        cones.groups, cones.lp, Us, sbar_lp, d_bound, pinv, rhs[:, None],
-        ipm.m, 1e-10, 1e-10, 4 * ipm.params.kkt_free_maxiter,
-    )
+    # restarted chunks of kkt_free_maxiter per dispatch: one monolithic
+    # 4x while_loop runs long enough for the remote TPU worker to
+    # recycle it (same failure mode as the in-solve tier-2 extension)
+    from hdsdp_tpu.solver.cones import _kkt_matvec
+
+    B = rhs[:, None]
+    X = jnp.zeros_like(B)
+    R = B
+    # the check is one-time: use a sane per-chunk budget even when the
+    # solve ran with a starved kkt_free_maxiter
+    chunk = max(ipm.params.kkt_free_maxiter, 600)
+    for _ in range(8):
+        dX, res, _ = _kkt_pcg(
+            cones.groups, cones.lp, Us, sbar_lp, d_bound, pinv, R,
+            ipm.m, 1e-10, 1e-10, chunk,
+        )
+        X = X + dX
+        R = B - _kkt_matvec(
+            cones.groups, cones.lp, Us, sbar_lp, d_bound, X, ipm.m
+        )
+        if float(jnp.max(jnp.linalg.norm(R, axis=0))) <= 1e-10 * max(
+            float(jnp.linalg.norm(rhs)), 1.0
+        ):
+            break
     return X[:, 0]
 
 
