@@ -622,8 +622,12 @@ class DualIPM:
         # dense m x m plus factor workspace plausibly fits).  The build
         # + factor go through the regular non-free machinery so the
         # mesh path (padded, row-sharded M -> distributed Cholesky)
-        # composes too.
-        if self.m <= self.params.op_materialize_cap:
+        # composes too.  A compile/OOM failure is remembered: re-trying
+        # the same doomed compile costs minutes per stall.
+        if (
+            self.m <= self.params.op_materialize_cap
+            and not getattr(self, "_op_mat_unavailable", False)
+        ):
             self.log.info(
                 f"operator CG stalled twice (rel {worst2:.2e}); "
                 "materializing M for a direct factor"
@@ -652,6 +656,7 @@ class DualIPM:
                     "returning best CG iterate"
                 )
                 self._op_escalated = None
+                self._op_mat_unavailable = True
                 return X
             finally:
                 self.kkt, self.Mfac, self.kkt_free = (
