@@ -92,6 +92,10 @@ try:
 except Exception:
     pass
 
+if getattr(solver.ipm, "region", None) is not None:
+    print("--- stage profile (host-loop regions) ---", flush=True)
+    print(solver.ipm.region.report(), flush=True)
+
 print(json.dumps({
     "instance": name,
     "m": prob.m,
