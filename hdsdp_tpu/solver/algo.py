@@ -444,22 +444,26 @@ class DualIPM:
 
     def _direct_factor(self, M) -> None:
         """Cholesky with a regularization ladder + LU fallback (the direct
-        analogue of the CG -> LDL switch, ref hdsdp_linsolver.c:1827-1857)."""
+        analogue of the CG -> LDL switch, ref hdsdp_linsolver.c:1827-1857).
+
+        The DD factor is kept WITH the matrix: its raw solve has forward
+        error ~kappa * 2^-45 — catastrophic at late-IPM conditioning
+        (observed: torus-22 diverges to NUMERICAL on raw DD solves) —
+        so solve_kkt runs f64 iterative-refinement sweeps against M."""
         if self._use_dd():
             from hdsdp_tpu.ops import ddchol
 
             fac = ddchol.factor(M)
             if bool(ddchol.ok(fac)):
-                self.Mfac = ("ddchol", fac)
+                self.Mfac = ("ddchol", (fac, M))
                 return
             base = float(jnp.max(jnp.diag(M))) * 1e-14 + 1e-300
             for k in range(6):
                 reg = base * (10.0 ** (2 * k))
-                fac = ddchol.factor(
-                    M + reg * jnp.eye(self.m, dtype=self.dtype)
-                )
+                Mr = M + reg * jnp.eye(self.m, dtype=self.dtype)
+                fac = ddchol.factor(Mr)
                 if bool(ddchol.ok(fac)):
-                    self.Mfac = ("ddchol", fac)
+                    self.Mfac = ("ddchol", (fac, Mr))
                     return
             # DD ladder exhausted: fall through to the f64 path below
         L = jnp.linalg.cholesky(M)
@@ -682,6 +686,38 @@ class DualIPM:
         finally:
             self.Mfac = saved
 
+    def _dd_refined_solve(self, fac_m, B: jnp.ndarray) -> jnp.ndarray:
+        """DD-factor solve + f64 iterative refinement against the kept M:
+        drives the forward error from kappa * 2^-45 down to the f64
+        direct-solve grade that every consumer (prox maker algebra,
+        corrector steps) expects.  Escalates to the f64 Cholesky ladder
+        if the refinement stalls (kappa ~> 2^45)."""
+        from hdsdp_tpu.ops import ddchol
+
+        fac, M = fac_m
+        X = ddchol.solve(fac, B)
+        worst = None
+        bscale = jnp.maximum(jnp.linalg.norm(B, axis=0), 1e-300)
+        for _ in range(3):
+            R = B - M @ X
+            worst = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
+            if worst <= 1e-12:
+                return X
+            X = X + ddchol.solve(fac, R)
+        R = B - M @ X
+        worst = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
+        if worst <= 1e-09:
+            return X
+        # refinement stalled: f64 ladder on the same matrix
+        self.log.info(f"DD refinement stalled (rel {worst:.2e}); f64 factor")
+        saved = self.Mfac
+        L = jnp.linalg.cholesky(M)
+        if bool(jnp.all(jnp.isfinite(L))):
+            self.Mfac = saved
+            return chol_ops.chol_solve(L, B)
+        self.Mfac = saved
+        return X
+
     def solve_kkt(self, rhs: jnp.ndarray) -> jnp.ndarray:
         self._factor_stats["n_solve"] += 1
         kind, fac = self.Mfac
@@ -690,9 +726,7 @@ class DualIPM:
         if kind == "chol":
             return chol_ops.chol_solve(fac, rhs)
         if kind == "ddchol":
-            from hdsdp_tpu.ops import ddchol
-
-            return ddchol.solve(fac, rhs)
+            return self._dd_refined_solve(fac, rhs[:, None])[:, 0]
         if kind == "shchol":
             from hdsdp_tpu.parallel.dchol import sharded_chol_solve
 
@@ -739,10 +773,8 @@ class DualIPM:
             sols = chol_ops.chol_solve(fac, jnp.stack(rhs_list, axis=1))
             return [sols[:, i] for i in range(len(rhs_list))]
         if kind == "ddchol":
-            from hdsdp_tpu.ops import ddchol
-
             self._factor_stats["n_solve"] += len(rhs_list)
-            sols = ddchol.solve(fac, jnp.stack(rhs_list, axis=1))
+            sols = self._dd_refined_solve(fac, jnp.stack(rhs_list, axis=1))
             return [sols[:, i] for i in range(len(rhs_list))]
         if kind == "cg":
             self._factor_stats["n_solve"] += len(rhs_list)
