@@ -460,10 +460,16 @@ class DualIPM:
             base = float(jnp.max(jnp.diag(M))) * 1e-14 + 1e-300
             for k in range(6):
                 reg = base * (10.0 ** (2 * k))
-                Mr = M + reg * jnp.eye(self.m, dtype=self.dtype)
-                fac = ddchol.factor(Mr)
+                fac = ddchol.factor(
+                    M + reg * jnp.eye(self.m, dtype=self.dtype)
+                )
                 if bool(ddchol.ok(fac)):
-                    self.Mfac = ("ddchol", (fac, Mr))
+                    # the regularized factor is only the PRECONDITIONER:
+                    # refinement must target the ORIGINAL M, else dy
+                    # solves a shifted system and the prox checker goes
+                    # permanently infeasible (observed on torus-22 with
+                    # direct DD factors from iteration 15 on)
+                    self.Mfac = ("ddchol", (fac, M))
                     return
             # DD ladder exhausted: fall through to the f64 path below
         L = jnp.linalg.cholesky(M)
