@@ -2,9 +2,9 @@
 
 Generalizes the torus-22 driver to any synthetic family at published
 SDPLIB sizes; used for the m >= 10k TPU evidence runs (torus-22,
-theta12).  The fused iter-mode phase-B program exceeds HBM at torus-22
-size (see NOTES round-3 log); the host loop releases buffers between
-ops, so fused=False here.
+theta12).  Round 5: NO pinned overrides — the fused "auto" HBM gate
+(params.fused_hbm_budget) selects the host loop at torus-22 scale by
+itself, so the zero-override default path is what this driver measures.
 
     python benchmarks/big_tpu.py torus22 [solver_kw=json ...]
     python benchmarks/big_tpu.py theta12 psdp=0
@@ -43,8 +43,8 @@ INSTANCES = {
 }
 
 name = sys.argv[1] if len(sys.argv) > 1 else "torus22"
-# CLI wins over the fused=False default; non-JSON values pass as strings
-overrides = {"fused": False}
+# non-JSON values pass as strings
+overrides = {}
 for arg in sys.argv[2:]:
     k, v = arg.split("=", 1)
     try:
@@ -109,4 +109,5 @@ print(json.dumps({
     "dimacs": [float(f"{e:.3e}") for e in r.dimacs],
     "peak_hbm_gb": round(peak / 2**30, 2) if peak else None,
     "tail_s": {k: round(v, 2) for k, v in _tails.items()},
+    "cg": solver.ipm._factor_stats.get("cg_summary"),
 }), flush=True)

@@ -178,6 +178,23 @@ def _equilibrated_factor(M, f32: bool = True, inv: bool = False):
     return L, s, ok
 
 
+@jax.jit
+def factor_scaled_f32(Ms):
+    """Inverted Cholesky factor of an ALREADY-equilibrated f32 SPD matrix
+    (unit diagonal): returns (Linv, ok).  The operator-mode preconditioner
+    path materializes M directly in equilibrated f32 chunks (no f64 m x m
+    ever exists), so this is `_equilibrated_factor` minus the scaling."""
+    from hdsdp_tpu.ops.chol import blocked_tri_inverse
+
+    L = jnp.linalg.cholesky(Ms)
+    ok = jnp.all(jnp.isfinite(L))
+    Linv = blocked_tri_inverse(
+        jnp.where(ok, L, jnp.eye(Ms.shape[0], dtype=L.dtype))
+    )
+    ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(Linv)))
+    return Linv, ok
+
+
 def use_hp_residual(m: int) -> bool:
     """Residual-matmul backend gate for refine_solve: XLA's emulated-f64
     dot_general materializes an [8, m, k_contract] f32 operand expansion
@@ -328,6 +345,7 @@ class AdaptiveCG:
         self.n_solve = 0
         self.last_iters = 0
         self.last_status = STATUS_OK
+        self.history = []  # per-call ledger: (kind, detail, seconds)
 
     def update(self, M) -> None:
         """New KKT system: the stale factor stays unless flagged."""
@@ -336,17 +354,30 @@ class AdaptiveCG:
             self._f64_left -= 1
 
     def _factor(self, M, f32: bool) -> bool:
+        import time as _time
+
+        t0 = _time.time()
         inv = f32 and use_inverted_precond(M.shape[0])
         L, s, ok = _equilibrated_factor(M, f32=f32, inv=inv)
         self.n_factor += 1
         self._fresh = True
         if not bool(ok):
             self.chol_fac = None
+            self.history.append(
+                ("factor32" if f32 else "factor64", "fail",
+                 _time.time() - t0)
+            )
             return False
         self.chol_fac = (L, s, inv)
+        self.history.append(
+            ("factor32" if f32 else "factor64", "ok", _time.time() - t0)
+        )
         return True
 
     def _refine(self, M, rhs_mat):
+        import time as _time
+
+        t0 = _time.time()
         L, s, inv = self.chol_fac
         X, status, iters = refine_solve(
             M, L, s, rhs_mat, max_iter=self.max_iter,
@@ -355,7 +386,35 @@ class AdaptiveCG:
         )
         self.last_iters = int(iters)
         self.last_status = int(status)
+        self.history.append(
+            (
+                "refine" + ("_stale" if not self._fresh else ""),
+                f"st={self.last_status} it={self.last_iters}",
+                _time.time() - t0,
+            )
+        )
         return X, self.last_status == STATUS_OK
+
+    def summary(self) -> dict:
+        """Aggregate the call ledger: where does the KKT-solve time go?"""
+        agg: dict = {}
+        for kind, detail, dt in self.history:
+            e = agg.setdefault(kind, {"n": 0, "s": 0.0})
+            e["n"] += 1
+            e["s"] += dt
+        for e in agg.values():
+            e["s"] = round(e["s"], 2)
+        refine_iters = [
+            int(d.split("it=")[1])
+            for k, d, _ in self.history
+            if k.startswith("refine")
+        ]
+        if refine_iters:
+            agg["refine_iters"] = {
+                "mean": round(sum(refine_iters) / len(refine_iters), 1),
+                "max": max(refine_iters),
+            }
+        return agg
 
     def solve_mat_checked(self, M, rhs_mat):
         """Solve M X = rhs_mat [m, k].  Returns (X [m, k], ok).

@@ -246,7 +246,15 @@ def _slot_schur(
                 if k == j:
                     M = M + T
                 elif col is not ga:
-                    # row-sharded mesh: avoid the transpose reshard
+                    # row-sharded mesh: avoid the transpose reshard by
+                    # recomputing the (k, j) partner row-major.  With
+                    # hp=True the two matmuls round independently
+                    # (bf16/Ozaki), so the assembled M is symmetric only
+                    # to ~2^-45 relative; a Cholesky reads one triangle,
+                    # the sharded-CG path applies the full, negligibly
+                    # nonsymmetric M.  Accepted: the exact symmetrization
+                    # 0.5*(M + M^T) is precisely the transpose-reshard
+                    # this branch exists to avoid.
                     Tt = (
                         hpmm.hpmm(FU[k], col.Fs[j].T)
                         if hp
@@ -624,6 +632,77 @@ def group_schur_diag(ga: GroupArrays, U: jnp.ndarray, m: int) -> jnp.ndarray:
         B, _ = _dense_congruence(ga, U)
         d = d.at[ga.didx].add(jnp.sum(B * ga.Ad, axis=(-1, -2)))
     return d
+
+
+def group_schur_rows(
+    ga: GroupArrays, U: jnp.ndarray, i0, chunk: int, m: int
+) -> Optional[jnp.ndarray]:
+    """Rows [i0, i0+chunk) of this group's Schur contribution, [chunk, m].
+
+    The row-chunked build behind the operator-mode Cholesky
+    preconditioner: each chunk is a SMALL program (compiles through the
+    remote pipeline where the monolithic m x m build cannot — observed
+    tier-3 failure at m = 25001, round 4) and the full M exists only as
+    an f32 preconditioner assembled chunk by chunk.  ``i0`` may be a
+    traced scalar: one compilation covers every chunk.
+
+    Supported: the three slot-major buckets (diag / bounded-support /
+    generic slot) with an empty dense bucket — exactly the shapes that
+    reach operator scale.  Returns None when the layout is not chunkable
+    (flat multi-block or dense slots); the caller falls back to Jacobi.
+    """
+    if ga.Ad.shape[0] or ga.Fs is None:
+        return None
+    U0 = U[0]
+
+    def rows(a, axis):
+        return jax.lax.dynamic_slice_in_dim(a, i0, chunk, axis)
+
+    if ga.dpos is not None:
+        w = ga.dw
+        wr = rows(w, 0)
+        ident = ga.dpos.shape[0] == 0
+        if ident:
+            Usub = rows(U0, 0)
+        else:
+            p = ga.dpos
+            Usub = U0[rows(p, 0)][:, p]
+        return (wr[:, None] * w[None, :]) * (Usub * Usub)
+
+    if ga.spos is not None:
+        P, V, w = ga.spos, ga.sval, ga.lams  # [r, m, c], [r, m]
+        r, _, c = P.shape
+        M = jnp.zeros((chunk, m), U.dtype)
+        for j in range(r):
+            Pr, Vr, wr = rows(P[j], 0), rows(V[j], 0), rows(w[j], 0)
+            for k in range(r):
+                T = jnp.zeros((chunk, m), U.dtype)
+                for a in range(c):
+                    G = U0[Pr[:, a]]  # [chunk, n]
+                    for b in range(c):
+                        T = T + (Vr[:, a, None] * V[k][None, :, b]) * G[
+                            :, P[k][:, b]
+                        ]
+                M = M + (wr[:, None] * w[k][None, :]) * (T * T)
+        return M
+
+    # generic slot-major: r(r+1)-ish [chunk, n] x [n, m] matmuls
+    r = ga.Fs.shape[0]
+    M = jnp.zeros((chunk, m), U.dtype)
+    for j in range(r):
+        FUr = rows(ga.Fs[j], 0) @ U0  # [chunk, n]
+        wr = rows(ga.lams[j], 0)
+        for k in range(r):
+            T = FUr @ ga.Fs[k].T  # [chunk, m]
+            M = M + (wr[:, None] * ga.lams[k][None, :]) * (T * T)
+    return M
+
+
+def lp_schur_rows(lp: LPArrays, s: jnp.ndarray, i0, chunk: int) -> jnp.ndarray:
+    """Rows [i0, i0+chunk) of the LP cone's A diag(s^-2) A^T."""
+    si2 = 1.0 / (s * s)
+    Ar = jax.lax.dynamic_slice_in_dim(lp.A, i0, chunk, 0)
+    return (Ar * si2[None, :]) @ lp.A.T
 
 
 def lp_schur_matvec(lp: LPArrays, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

@@ -106,6 +106,7 @@ class DualIPM:
         self._op_bound = None  # bound-cone diagonal [m]
         self._op_diag = None  # exact diag(M) incl. bound
         self._op_reg = 0.0
+        self._op_pc = None  # (Linv32, s): stale chol preconditioner
         self._op_escalated = None  # direct factor from a CG stall
         self.b = jnp.asarray(prob.b * self.rhs_scal, self.dtype)
 
@@ -472,18 +473,24 @@ class DualIPM:
                     self.Mfac = ("ddchol", (fac, M))
                     return
             # DD ladder exhausted: fall through to the f64 path below
+        self.Mfac = self._f64_factor_ladder(M)
+
+    def _f64_factor_ladder(self, M):
+        """f64 Cholesky + regularization ladder + LU fallback, returned
+        as an Mfac tuple (shared by the direct path and the DD-refinement
+        escalation)."""
         L = jnp.linalg.cholesky(M)
         if bool(jnp.all(jnp.isfinite(L))):
-            self.Mfac = ("chol", L)
-            return
+            return ("chol", L)
         base = float(jnp.max(jnp.diag(M))) * 1e-14 + 1e-300
         for k in range(6):
             reg = base * (10.0 ** (2 * k))
-            L = jnp.linalg.cholesky(M + reg * jnp.eye(self.m, dtype=self.dtype))
+            L = jnp.linalg.cholesky(
+                M + reg * jnp.eye(M.shape[0], dtype=self.dtype)
+            )
             if bool(jnp.all(jnp.isfinite(L))):
-                self.Mfac = ("chol", L)
-                return
-        self.Mfac = ("lu", jax.scipy.linalg.lu_factor(M))
+                return ("chol", L)
+        return ("lu", jax.scipy.linalg.lu_factor(M))
 
     def _row_sharded(self) -> bool:
         return getattr(self.cones, "is_row_sharded", False)
@@ -559,19 +566,81 @@ class DualIPM:
         self.d1 = self.d2 = self.d3 = self.d4 = None
         self._op_Us = self._op_diag = self._op_bound = self._op_slp = None
         self._op_escalated = None
+        self._op_pc = None
         if hasattr(self, "_cg"):
             # keep the engagement evidence (the live object holds a
             # stale [m, m] preconditioner) — read by tests/benchmarks
             self._factor_stats["cg_n_factor"] = self._cg.n_factor
             self._factor_stats["cg_n_solve"] = self._cg.n_solve
+            self._factor_stats["cg_summary"] = self._cg.summary()
             del self._cg
         if hasattr(self.cones, "_lz_warm"):
             self.cones._lz_warm = None
 
+    def _op_build_precond(self) -> bool:
+        """Materialize an equilibrated f32 copy of the CURRENT operator
+        M in row chunks and keep its inverted Cholesky factor as the CG
+        preconditioner (round 5, VERDICT #4).  No f64 m x m ever exists;
+        each chunk is a small program that compiles at sizes where the
+        monolithic build wedges the remote pipeline (m = 25001, r4)."""
+        import time as _time
+
+        t0 = _time.time()
+        p = self.params
+        m = self.m
+        extra = self._op_bound + self._op_reg
+        diag = self._op_diag + self._op_reg
+        s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-300))
+        chunk = min(p.op_precond_chunk, m)
+        i0s = list(range(0, m - chunk + 1, chunk))
+        if not i0s or i0s[-1] + chunk < m:
+            i0s.append(m - chunk)  # final (possibly overlapping) chunk
+        Ms = jnp.zeros((m, m), jnp.float32)
+        for i0 in i0s:
+            rows = self.cones.kkt_rows(
+                self._op_Us, self._op_slp, extra, i0, chunk
+            )
+            sr = jax.lax.dynamic_slice_in_dim(s, i0, chunk)
+            rows32 = (sr[:, None] * rows * s[None, :]).astype(jnp.float32)
+            Ms = jax.lax.dynamic_update_slice(Ms, rows32, (i0, 0))
+        from hdsdp_tpu.ops.cg import factor_scaled_f32
+
+        eye = None
+        for dl in (0.0, 1e-06, 1e-04, 1e-02):
+            # the equilibrated M has unit diagonal, so dl is a RELATIVE
+            # boost; a boosted factor still preconditions M well
+            if dl:
+                if eye is None:
+                    eye = jnp.eye(m, dtype=jnp.float32)
+                Linv, ok = factor_scaled_f32(Ms + dl * eye)
+            else:
+                Linv, ok = factor_scaled_f32(Ms)
+            if bool(ok):
+                del Ms
+                self._op_pc = (Linv, s)
+                self._factor_stats["op_pc_builds"] = (
+                    self._factor_stats.get("op_pc_builds", 0) + 1
+                )
+                self.log.info(
+                    f"operator f32 preconditioner refreshed "
+                    f"(boost {dl:g}, {_time.time() - t0:.1f}s)"
+                )
+                return True
+        self._op_pc = None
+        self._op_pc_unavailable = True
+        self.log.warning("operator f32 preconditioner factor failed (NaN)")
+        return False
+
     def _op_solve(self, B: jnp.ndarray):
-        """Jacobi-PCG solve of M X = B on the matrix-free operator, with
-        a stall-escalation ladder (≙ the reference's CG -> dense-LDL
-        switch, hdsdp_linsolver.c:1827-1857):
+        """CG solve of M X = B on the matrix-free operator.
+
+        Tier 0 (round 5): Cholesky-preconditioned CG against a stale,
+        chunk-materialized, inverted f32 factor of M (ADPCG policy:
+        refresh on iteration regret or failure) — the factorization-
+        grade endgame the Jacobi path lacked (VERDICT r4 #4).
+
+        Fallback ladder (≙ the reference's CG -> dense-LDL switch,
+        hdsdp_linsolver.c:1827-1857):
 
           1. Jacobi-PCG at kkt_free_maxiter,
           2. on stall: continue the same CG 4x longer (warm from X),
@@ -600,9 +669,62 @@ class DualIPM:
             # keep solving against it (factor-once / solve-many)
             return self._solve_escalated(B)
 
+        def pcg_chol(B0, max_iter):
+            extra = self._op_bound + self._op_reg
+            Linv, s = self._op_pc
+            X, res, n_it = self.cones.kkt_pcg_chol(
+                self._op_Us, self._op_slp, extra, Linv, s, B0,
+                abs_tol=1e-10, rel_tol=1e-10, max_iter=max_iter,
+            )
+            self._factor_stats["opcg_iters"] = (
+                self._factor_stats.get("opcg_iters", 0) + int(n_it)
+            )
+            worst = float(
+                jnp.max(res / jnp.maximum(jnp.linalg.norm(B0, axis=0), 1.0))
+            )
+            return X, worst, int(n_it)
+
+        use_pc = (
+            self.params.op_precond_cap > 0
+            and self.m <= self.params.op_precond_cap
+            and self.mesh is None
+            and not getattr(self, "_op_pc_unavailable", False)
+            and self.cones.kkt_rows_supported()
+        )
+        # tier 0: once engaged (a previous Jacobi solve was inadequate),
+        # the stale chol factor carries every subsequent system — the
+        # ADPCG diag -> Cholesky escalation that STAYS escalated
+        if use_pc and getattr(self, "_op_pc", None) is not None:
+            X, worst, n_it = pcg_chol(B, self.params.kkt_free_maxiter)
+            if worst <= 1e-06:
+                if n_it > self.params.op_precond_refresh_iters:
+                    # ADPCG iteration-regret rule: converged but slowly —
+                    # refresh before the next system
+                    self._op_pc = None
+                return X
+            # stale factor underperformed: refresh now, retry once
+            if self._op_build_precond():
+                X, worst, n_it = pcg_chol(B, self.params.kkt_free_maxiter)
+                if worst <= 1e-06:
+                    return X
+            self.log.info(
+                f"operator chol-PCG stalled (rel {worst:.2e}); "
+                "falling back to the Jacobi ladder"
+            )
+
         X, worst = pcg(B, self.params.kkt_free_maxiter)
         if worst <= 1e-06:
             return X
+        # Jacobi proved inadequate for this conditioning: escalate to
+        # the chunk-materialized f32 Cholesky preconditioner before the
+        # brute-force extension tiers
+        if use_pc and getattr(self, "_op_pc", None) is None:
+            if self._op_build_precond():
+                Xc, worstc, _ = pcg_chol(B, self.params.kkt_free_maxiter)
+                if worstc <= 1e-06:
+                    return Xc
+                if worstc < worst:
+                    X, worst = Xc, worstc
         # tier 2: 4x budget as RESTARTED chunks of kkt_free_maxiter,
         # warm-started via residual correction between dispatches.  One
         # monolithic 4x while_loop dispatch runs long enough for the
@@ -657,13 +779,20 @@ class DualIPM:
                 self.kkt_free = False
                 self.factor_kkt(force_direct=True)
                 self._op_escalated = self.Mfac
-            except Exception as e:  # compile/OOM at this size: the
-                # best CG iterate (rel ~1e-5 here) is still a usable
+            except RuntimeError as e:  # XlaRuntimeError (compile/OOM,
+                # remote-helper failures) subclasses RuntimeError; a
+                # genuine programming error (shape/type) propagates.
+                # The best CG iterate (rel ~1e-5 here) is still a usable
                 # step — the IPM self-corrects and the final DIMACS
                 # check re-solves its own consistent system
-                self.log.info(
-                    f"materialized escalation unavailable ({e!r:.120}); "
-                    "returning best CG iterate"
+                import traceback
+
+                self.log.warning(
+                    "materialized escalation unavailable; returning best "
+                    "CG iterate\n"
+                    + "".join(
+                        traceback.format_exception(type(e), e, e.__traceback__)
+                    )[-800:]
                 )
                 self._op_escalated = None
                 self._op_mat_unavailable = True
@@ -682,6 +811,7 @@ class DualIPM:
     def _solve_escalated(self, B: jnp.ndarray):
         saved = self.Mfac
         self.Mfac = self._op_escalated
+        n0 = self._factor_stats["n_solve"]
         try:
             if B.shape[1] == 1:
                 return self.solve_kkt(B[:, 0])[:, None]
@@ -690,6 +820,12 @@ class DualIPM:
                 axis=1,
             )
         finally:
+            # the originating opcg solve already counted these rhs; the
+            # inner solve_kkt* calls must not count them again
+            self._factor_stats["n_solve"] = n0
+            # a DD-refinement escalation inside the inner solve may have
+            # upgraded the factor (ddchol -> chol): keep the upgrade
+            self._op_escalated = self.Mfac
             self.Mfac = saved
 
     def _dd_refined_solve(self, fac_m, B: jnp.ndarray) -> jnp.ndarray:
@@ -714,15 +850,15 @@ class DualIPM:
         worst = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
         if worst <= 1e-09:
             return X
-        # refinement stalled: f64 ladder on the same matrix
+        # refinement stalled (kappa ~> 2^45): escalate to the f64 ladder
+        # and KEEP the factor — every later solve against this same M
+        # reuses it instead of refactoring O(m^3) each time
         self.log.info(f"DD refinement stalled (rel {worst:.2e}); f64 factor")
-        saved = self.Mfac
-        L = jnp.linalg.cholesky(M)
-        if bool(jnp.all(jnp.isfinite(L))):
-            self.Mfac = saved
-            return chol_ops.chol_solve(L, B)
-        self.Mfac = saved
-        return X
+        self.Mfac = self._f64_factor_ladder(M)
+        kind, fac = self.Mfac
+        if kind == "chol":
+            return chol_ops.chol_solve(fac, B)
+        return jax.scipy.linalg.lu_solve(fac, B)
 
     def solve_kkt(self, rhs: jnp.ndarray) -> jnp.ndarray:
         self._factor_stats["n_solve"] += 1
@@ -1322,11 +1458,12 @@ class DualIPM:
         force_detect = True
         n_internal = 0
         p_obj_start = self.p_obj_internal
-        # PSDP materializes a dense X-weighted M (factor-once/solve-many,
-        # ref hdsdp_psdp.c:203-207); in operator mode that matrix cannot
-        # exist, so refinement is skipped (the dual phases alone carry
-        # the solve to tolerance, as in the reference's PSDP-fail path)
-        use_psdp = p.psdp and not self.kkt_free
+        # PSDP is unconditionally available, as in the reference
+        # (hdsdp_psdp.c:164-457): under operator mode the refiner either
+        # materializes its X-weighted M once (factor-once/solve-many,
+        # m <= op_materialize_cap) or runs its KKT through the matrix-
+        # free Jacobi-PCG with X in place of S^-1 (round 5, VERDICT #7)
+        use_psdp = p.psdp
 
         self.log.header("potential")
 
@@ -1625,7 +1762,24 @@ class DualIPM:
                     self.m <= self.params.fused_max_m
                     and self.f.n_max_cone_dim <= self.params.fused_max_n
                 )
-                fused = "phase" if small else "iter"
+                # zero-override safety at flagship scale: iter-fused
+                # phase B exceeded HBM at m = n = 10648 (round 3), so
+                # "auto" estimates the resident state and falls back to
+                # the host loop above the budget instead of picking a
+                # known-bad configuration (the reference runs one code
+                # path at every scale, hdsdp_algo.c:1853-1870; ours
+                # chooses the safe one automatically).
+                est_bytes = 8.0 * 16.0 * (
+                    float(self.m) ** 2
+                    + float(self.f.n_max_cone_dim)
+                    * float(self.f.n_sum_cone_dims)
+                )
+                if small:
+                    fused = "phase"
+                elif est_bytes <= self.params.fused_hbm_budget:
+                    fused = "iter"
+                else:
+                    fused = False
         elif fused is True:
             fused = "phase"
         if self.kkt_free and fused:

@@ -229,23 +229,16 @@ def _kkt_matvec(groups, lp, Us, s_lp, extra_diag, V, m: int):
     return _kkt_apply(groups, lp, Us, s_lp, extra_diag, V, m)
 
 
-@partial(jax.jit, static_argnames=("m", "max_iter"))
-def _kkt_pcg(groups, lp, Us, s_lp, extra_diag, pinv, B, m: int,
-             abs_tol: float, rel_tol: float, max_iter: int):
-    """Jacobi-preconditioned CG on the matrix-free Schur operator, k
-    independent right-hand sides per dispatch (per-column recurrences;
-    ≙ conjGradSolve, ref hdsdp_linsolver.c:1446-1588, with the Jacobi
-    preconditioner branch — the Cholesky branch has no matrix to factor
-    here).  Returns (X, resnorm [k], n_iters)."""
-
-    def mv(V):
-        return _kkt_apply(groups, lp, Us, s_lp, extra_diag, V, m)
-
+def _pcg_body(mv, papply, B, abs_tol, rel_tol, max_iter):
+    """Shared PCG recurrence for the matrix-free operator (k independent
+    right-hand sides, per-column recurrences; ≙ conjGradSolve, ref
+    hdsdp_linsolver.c:1446-1588).  ``papply`` is the preconditioner
+    application R -> P^-1 R."""
     bnorm = jnp.linalg.norm(B, axis=0)
     tol = jnp.maximum(abs_tol, rel_tol * bnorm)
     X = jnp.zeros_like(B)
     R = B
-    Z = pinv[:, None] * R
+    Z = papply(R)
     P = Z
     rz = jnp.sum(R * Z, axis=0)
 
@@ -262,7 +255,7 @@ def _kkt_pcg(groups, lp, Us, s_lp, extra_diag, pinv, B, m: int,
         alpha = jnp.where(pq > 0, rz / jnp.where(pq == 0, 1.0, pq), 0.0) * live
         X = X + alpha[None, :] * P
         R = R - alpha[None, :] * Q
-        Z = pinv[:, None] * R
+        Z = papply(R)
         rz_new = jnp.sum(R * Z, axis=0)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         P = Z + beta[None, :] * P
@@ -270,6 +263,63 @@ def _kkt_pcg(groups, lp, Us, s_lp, extra_diag, pinv, B, m: int,
 
     X, R, P, rz, it = jax.lax.while_loop(cond, body, (X, R, P, rz, 0))
     return X, jnp.linalg.norm(R, axis=0), it
+
+
+@partial(jax.jit, static_argnames=("m", "max_iter"))
+def _kkt_pcg(groups, lp, Us, s_lp, extra_diag, pinv, B, m: int,
+             abs_tol: float, rel_tol: float, max_iter: int):
+    """Jacobi-preconditioned CG on the matrix-free Schur operator
+    (the Jacobi branch of conjGradSolve).  Returns (X, resnorm [k],
+    n_iters)."""
+
+    def mv(V):
+        return _kkt_apply(groups, lp, Us, s_lp, extra_diag, V, m)
+
+    return _pcg_body(
+        mv, lambda R: pinv[:, None] * R, B, abs_tol, rel_tol, max_iter
+    )
+
+
+@partial(jax.jit, static_argnames=("m", "max_iter"))
+def _kkt_pcg_chol(groups, lp, Us, s_lp, extra_diag, Linv, s, B, m: int,
+                  abs_tol: float, rel_tol: float, max_iter: int):
+    """Cholesky-preconditioned CG on the matrix-free operator: the
+    factorization-grade endgame backend of operator mode (round 5,
+    VERDICT #4).  ``Linv`` is the inverted equilibrated f32 factor of a
+    (possibly STALE, ADPCG-style) chunk-materialized M; its application
+    is two f32 MXU matmuls.  CG polishes the f32/staleness error — for
+    kappa(M) ~ 1e10 the preconditioned system has kappa ~ 1 +
+    eps_f32 * kappa ~ 1e3, tens of iterations instead of the Jacobi
+    path's stalled thousands (≙ conjGradSolve's Cholesky branch +
+    the ADPCG refresh policy, hdsdp_linsolver.c:1446-1588)."""
+
+    def mv(V):
+        return _kkt_apply(groups, lp, Us, s_lp, extra_diag, V, m)
+
+    def papply(R):
+        Rf = (s[:, None] * R).astype(Linv.dtype)
+        T = Linv.T @ (Linv @ Rf)
+        return s[:, None] * T.astype(B.dtype)
+
+    return _pcg_body(mv, papply, B, abs_tol, rel_tol, max_iter)
+
+
+@partial(jax.jit, static_argnames=("m", "chunk"))
+def _kkt_rows(groups, lp, Us, s_lp, bound_extra, i0, m: int, chunk: int):
+    """Rows [i0, i0+chunk) of the full KKT matrix (SDP groups + LP +
+    diagonal bound/reg terms), [chunk, m] f64.  ``i0`` is traced: one
+    compilation serves every chunk of the materialization loop."""
+    dtype = Us[0].dtype if Us else s_lp.dtype
+    out = jnp.zeros((chunk, m), dtype)
+    for ga, U in zip(groups, Us):
+        r = schur_ops.group_schur_rows(ga, U, i0, chunk, m)
+        assert r is not None, "caller must check kkt_rows_supported first"
+        out = out + r
+    if lp is not None:
+        out = out + schur_ops.lp_schur_rows(lp, s_lp, i0, chunk)
+    idx = jnp.arange(chunk)
+    extra = jax.lax.dynamic_slice_in_dim(bound_extra, i0, chunk)
+    return out.at[idx, i0 + idx].add(extra)
 
 
 @partial(jax.jit, static_argnames=("mode", "krylov"))
@@ -570,6 +620,28 @@ class ConeSystem:
         return _kkt_pcg(
             self.groups, self.lp, Us, s_lp, extra_diag, pinv, B, self.m,
             abs_tol, rel_tol, max_iter,
+        )
+
+    def kkt_pcg_chol(self, Us, s_lp, extra_diag, Linv, s, B, abs_tol=1e-10,
+                     rel_tol=1e-10, max_iter=600):
+        """Cholesky-preconditioned CG on the operator (stale f32 factor
+        of a chunk-materialized M; see _kkt_pcg_chol)."""
+        return _kkt_pcg_chol(
+            self.groups, self.lp, Us, s_lp, extra_diag, Linv, s, B, self.m,
+            abs_tol, rel_tol, max_iter,
+        )
+
+    def kkt_rows_supported(self) -> bool:
+        """True when every group is row-chunkable (slot-major, no dense
+        slots) so the f32 preconditioner can be materialized in chunks."""
+        return all(
+            ga.Fs is not None and ga.Ad.shape[0] == 0 for ga in self.groups
+        )
+
+    def kkt_rows(self, Us, s_lp, bound_extra, i0, chunk: int):
+        """Rows [i0, i0+chunk) of the full KKT matrix, [chunk, m]."""
+        return _kkt_rows(
+            self.groups, self.lp, Us, s_lp, bound_extra, i0, self.m, chunk
         )
 
     # -- ratio test --------------------------------------------------------

@@ -59,10 +59,19 @@ class Params:
     #             (large shapes; ~4-14x faster than the op-by-op loop),
     #   False   — host-driven reference loop (debugging),
     #   "auto"  — "phase" iff m <= fused_max_m and max block dim <=
-    #             fused_max_n, else "iter".
+    #             fused_max_n; "iter" while the estimated resident state
+    #             fits fused_hbm_budget bytes; host loop above that
+    #             (round-3 measured: iter-fused phase B exceeds HBM at
+    #             m = n = 10648, while the host loop completes).
     fused: object = "auto"
     fused_max_m: int = 512
     fused_max_n: int = 256
+    # HBM ceiling for the "auto" -> "iter" choice.  The iter program's
+    # resident set is ~16 f64 copies of the m x m Schur system plus the
+    # [sum_b n_b, n_max]-class cone buffers (double-buffered while-loop
+    # state + XLA temps); 12 GB leaves headroom on a 16 GB device.
+    # Estimate: 8 * 16 * (m^2 + n_max * sum_b n_b) bytes.
+    fused_hbm_budget: float = 12e9
     # Schur system backend: "direct" dense Cholesky, "cg" Jacobi/stale-
     # Cholesky PCG (ref HDSDP_LINSYS_DENSE_ITERATIVE default), "auto"
     # picks cg above kkt_cg_threshold rows (host loop only; the fused
@@ -85,6 +94,20 @@ class Params:
     # direct-factor it — allowed only up to this row count (a dense f64
     # M plus factor workspace must fit beside the cone buffers).
     op_materialize_cap: int = 32768
+    # Operator-mode Cholesky preconditioner (round 5, the matrix-free
+    # path's factorization-grade endgame ≙ QDLDL's role for the sparse
+    # Schur system, hdsdp_linsolver.c:510-810, + the ADPCG stale-factor
+    # policy): M is materialized ROW-CHUNK by row-chunk directly into an
+    # equilibrated f32 buffer (each chunk a small program — compiles at
+    # m = 25001 where the monolithic build cannot), factored + inverted
+    # in f32, and kept (possibly stale) as the CG preconditioner.
+    # Peak extra memory ~3 * 4 m^2 bytes transient, 4 m^2 resident.
+    # op_precond_cap = 0 disables (pure Jacobi as in round 4).
+    op_precond_cap: int = 32768
+    op_precond_chunk: int = 2048
+    # refresh the stale factor when a converged solve needed this many
+    # CG iterations (the ADPCG iteration-regret rule)
+    op_precond_refresh_iters: int = 80
     # Arithmetic for the direct Schur factorization: "xla" — XLA's
     # emulated-f64 Cholesky (VPU, ~0.02 Tflop/s); "dd" — double-single
     # blocked Cholesky on the MXU (ops.ddchol, ~2^-45 accuracy, matches

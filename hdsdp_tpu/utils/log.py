@@ -12,6 +12,12 @@ class Logger:
         if self.enabled:
             print(msg)
 
+    def warning(self, msg: str):
+        """Unexpected-but-recoverable events: printed even when the
+        iteration log is silenced (a swallowed escalation failure must
+        leave a trace, ADVICE r4)."""
+        print(f"WARNING: {msg}")
+
     def header(self, method: str):
         if not self.enabled:
             return
