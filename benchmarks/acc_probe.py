@@ -88,7 +88,13 @@ out = dimacs_mod._dimacs_eval(
     jnp.asarray(ipm.perturb, ipm.dtype),
     jnp.asarray(maker.mu, ipm.dtype), dy, Us, sbar_lp, ipm.m,
 )
-p_obj, d_obj, compl, min_eval, p_inf_norm = (float(v) for v in out)
+p_obj, d_obj, compl, min_evals, lp_min, p_inf_norm, _X = out
+p_obj, d_obj, compl, p_inf_norm = (
+    float(v) for v in (p_obj, d_obj, compl, p_inf_norm)
+)
+min_eval = min(
+    [float(v) for v in min_evals] + [float(lp_min)]
+)
 print(json.dumps({
     "maker_used": "acc" if use_acc else "inacc",
     "maker_mu": maker.mu,

@@ -98,7 +98,11 @@ parts = dm._dimacs_eval(
     jnp.asarray(ipm.perturb, ipm.dtype),
     jnp.asarray(maker.mu, ipm.dtype), dy, Us, sbar_lp, ipm.m,
 )
-p_obj, d_obj, compl, min_eval, p_inf_norm = (float(np.asarray(v)) for v in parts)
+p_obj, d_obj, compl, min_evals, lp_min, p_inf_norm, _X = parts
+p_obj, d_obj, compl, p_inf_norm = (
+    float(np.asarray(v)) for v in (p_obj, d_obj, compl, p_inf_norm)
+)
+min_eval = min([float(np.asarray(v)) for v in min_evals] + [float(lp_min)])
 print(f"eval t={time.time()-t0:.1f}s", flush=True)
 print(json.dumps({
     "p_obj": p_obj, "d_obj": d_obj, "gap": p_obj - d_obj,

@@ -67,12 +67,14 @@ def _lanczos_min_one(X: jnp.ndarray, krylov: int = 64,
     """lambda_min estimate of one symmetric [n, n] block: restarted
     Lanczos on -X (full reorthogonalization, v0 = previous Ritz vector)
     + f64 Rayleigh quotient.  O(r k n^2) flops, O(k n) memory — no dense
-    eig at any n.  Resolves lambda_min to ~1e-4 ||X|| even on clustered
-    bottoms — well inside the 1e-2 DIMACS acceptance gate the value
-    feeds (ref hdsdp.c:905-921); isolated negative directions converge
-    to full precision.  Lanczos approaches lambda_max(-X) from BELOW,
-    so the estimate never overstates the negativity of X (DIMACS err2
-    cannot be inflated by an unconverged sweep)."""
+    eig at any n.  NOTE the risk direction: Lanczos approaches
+    lambda_max(-X) from below, so an unconverged sweep makes X look
+    MORE PSD than it is (a real negativity can be missed).  For that
+    reason blocks this large are no longer accepted on the estimate
+    alone — `_certified_block_min_eval` below adds the reference's
+    try-Cholesky certificate (hdsdp_linsolver.c:1112-1144) on X + dI,
+    and the REPORTED err2 comes from the certificate; this estimate is
+    only the refiner."""
     n = X.shape[-1]
 
     def sweep(v):
@@ -107,6 +109,54 @@ def _lanczos_min_one(X: jnp.ndarray, krylov: int = 64,
     for _ in range(restarts):
         u = sweep(u)
     return u @ (X @ u)
+
+
+def _try_chol_ok(A: jnp.ndarray) -> bool:
+    """The reference's PSD predicate — try a Cholesky, success means PSD
+    up to factorization rounding (ref HFpLinsysPsdCheck,
+    hdsdp_linsolver.c:1112-1144).  On TPU the DD blocked factor runs the
+    O(n^3) at MXU speed (XLA's emulated f64 Cholesky takes minutes at
+    n >= 10k); elsewhere the exact f64 factor is cheap."""
+    from hdsdp_tpu.utils.platform import is_tpu
+
+    if is_tpu():
+        from hdsdp_tpu.ops import ddchol
+
+        return bool(ddchol.ok(ddchol.factor(A)))
+    L = jnp.linalg.cholesky(A)
+    return bool(jnp.all(jnp.isfinite(L)))
+
+
+def _certified_block_min_eval(X: jnp.ndarray, est: float) -> float:
+    """CERTIFIED lambda_min lower bound for one huge [n, n] block.
+
+    Walks a shift ladder delta_0 = 0 < delta_1 < ... and returns
+    -(delta* + eps) for the first delta* whose Cholesky of X + delta* I
+    succeeds: that factorization certifies lambda_min(X) >= -delta* up
+    to the factor's own rounding slack eps ~ c n u ||diag||
+    (u = 2^-45 for the DD factor on TPU, 2^-53 for f64 — the same
+    guarantee class as the reference's dpotrf predicate).  Unlike the
+    Lanczos estimate (an upper bound on lambda_min that can only
+    UNDER-report a violation), the returned value is a lower bound, so
+    DIMACS err2 computed from it can only over-report — by at most the
+    decade granularity of the ladder.  Typical cost: ONE factorization
+    (the converged IPM's X is PSD and rung 0 succeeds).
+
+    ``est`` (the Lanczos refinement) only tightens the failure report
+    when even the widest shift fails."""
+    n = X.shape[0]
+    scale = float(jnp.max(jnp.abs(jnp.diagonal(X)))) + 1e-300
+    u = 2.0 ** -45  # DD factor unit; dominates the f64 case too
+    eps = 4.0 * n * u * scale
+    deltas = [0.0] + [scale * 10.0 ** e for e in range(-14, -1)]
+    eye = jnp.eye(n, dtype=X.dtype)
+    for d in deltas:
+        if _try_chol_ok(X if d == 0.0 else X + d * eye):
+            return -(d + eps)
+    # nothing certifies: X is indefinite beyond 1e-2 * scale — far past
+    # any acceptance gate; report the worse of the ladder bound and the
+    # Lanczos estimate
+    return min(est, -deltas[-1])
 
 
 def _uwu(U: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
@@ -322,14 +372,13 @@ def _dimacs_eval(groups, lp, b, y, Rd, perturb, mk_mu, dy, Us, sbar_lp,
     if lp is not None:
         compl = compl + x_lp @ s_lp
 
-    min_eval = jnp.asarray(jnp.inf, b.dtype)
-    for Xg in X_list:
-        min_eval = jnp.minimum(min_eval, _batch_min_eval(Xg))
-    if lp is not None:
-        min_eval = jnp.minimum(min_eval, jnp.min(x_lp))
+    # per-group minimum eigenvalues (estimates at n >= _LANCZOS_EIG_DIM,
+    # combined with the host-side try-Cholesky certificate by the caller)
+    min_evals = tuple(_batch_min_eval(Xg) for Xg in X_list)
+    lp_min = jnp.min(x_lp) if lp is not None else jnp.asarray(jnp.inf, b.dtype)
 
     p_inf_norm = jnp.linalg.norm(ax - b)
-    return p_obj, d_obj, compl, min_eval, p_inf_norm
+    return p_obj, d_obj, compl, min_evals, lp_min, p_inf_norm, tuple(X_list)
 
 
 def _consistent_maker_solve(ipm, maker):
@@ -337,6 +386,16 @@ def _consistent_maker_solve(ipm, maker):
     cones = ipm.cones
     hp = bool(getattr(cones, "kkt_hp", False))
     with_m = not ipm.kkt_free
+    if with_m and (
+        getattr(cones, "is_row_sharded", False)
+        or ipm.m > ipm.params.op_materialize_cap
+    ):
+        # Never materialize + factor the full unsharded m x m M at check
+        # time on a row-sharded mesh run (whose whole design keeps M
+        # distributed) or above the operator materialization cap: route
+        # the consistency dy through the matrix-free Jacobi-PCG exactly
+        # as the kkt_free path does.
+        with_m = False
     ok, Us, sbar_lp, M, d_bound, rhs = _maker_kkt(
         cones.groups, cones.lp, ipm.b,
         jnp.asarray(maker.mu, ipm.dtype),
@@ -451,7 +510,11 @@ def _dimacs_errors(ipm, maker) -> Optional[np.ndarray]:
             compl += float(x_lp @ s_lp)
         min_eval = np.inf
         for Xg in X_list:
-            min_eval = min(min_eval, float(_batch_min_eval(Xg)))
+            me = float(_batch_min_eval(Xg))
+            if Xg.shape[-1] >= _LANCZOS_EIG_DIM and Xg.dtype == jnp.float64:
+                for i in range(Xg.shape[0]):
+                    me = min(me, _certified_block_min_eval(Xg[i], est=me))
+            min_eval = min(min_eval, me)
         if cones.has_lp:
             min_eval = min(min_eval, float(jnp.min(x_lp)))
         p_inf_norm = float(jnp.linalg.norm(ax - ipm.b))
@@ -461,7 +524,7 @@ def _dimacs_errors(ipm, maker) -> Optional[np.ndarray]:
     if out is None:
         return None
     Us, sbar_lp, dy = out
-    parts = _dimacs_eval(
+    p_obj, d_obj, compl, min_evals, lp_min, p_inf_norm, X_list = _dimacs_eval(
         cones.groups,
         cones.lp,
         ipm.b,
@@ -474,9 +537,26 @@ def _dimacs_errors(ipm, maker) -> Optional[np.ndarray]:
         sbar_lp,
         ipm.m,
     )
-    p_obj, d_obj, compl, min_eval, p_inf_norm = (
-        float(np.asarray(v)) for v in parts
-    )
+    # blocks large enough to have used the Lanczos ESTIMATE get the
+    # try-Cholesky certificate (the estimate can only under-report a
+    # violation; the certificate can only over-report — VERDICT r4 #7)
+    min_eval = np.inf
+    for Xg, me in zip(X_list, min_evals):
+        if Xg.shape[-1] >= _LANCZOS_EIG_DIM and Xg.dtype == jnp.float64:
+            for i in range(Xg.shape[0]):
+                min_eval = min(
+                    min_eval,
+                    _certified_block_min_eval(Xg[i], est=float(me)),
+                )
+        else:
+            min_eval = min(min_eval, float(me))
+    if cones.has_lp:
+        min_eval = min(min_eval, float(lp_min))
     return _errors_from_parts(
-        ipm, p_obj, d_obj, compl, min_eval, p_inf_norm,
+        ipm,
+        float(np.asarray(p_obj)),
+        float(np.asarray(d_obj)),
+        float(np.asarray(compl)),
+        min_eval,
+        float(np.asarray(p_inf_norm)),
     )

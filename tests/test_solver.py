@@ -88,3 +88,32 @@ def test_lanczos_min_eval_matches_exact():
         # negativity direction (Rayleigh quotient >= lambda_min)
         assert est >= exact - 1e-12
         assert est == pytest.approx(exact, abs=2e-4 * max(1.0, abs(spec).max()))
+
+
+def test_certified_min_eval_brackets_violation():
+    """The try-Cholesky certificate (ref hdsdp_linsolver.c:1112-1144 on
+    X + dI) must return a LOWER bound on lambda_min that is within one
+    ladder decade of the truth — including the adversarial near-PSD case
+    where a tiny negative eigenvalue hides in a clustered bottom (the
+    case an unconverged Lanczos sweep can miss entirely)."""
+    import jax.numpy as jnp
+
+    from hdsdp_tpu.solver import dimacs
+
+    n = 512
+    rng = np.random.default_rng(23)
+    for lam_min in (1e-3, -1e-8, -1e-6, -1e-3):
+        # adversarial: the negative direction sits inside a cluster of
+        # near-zero eigenvalues of the same magnitude
+        spec = np.r_[lam_min, np.full(16, abs(lam_min) * 2),
+                     np.linspace(0.5, 2.0, n - 17)]
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        X = jnp.asarray((Q * spec) @ Q.T, jnp.float64)
+        X = 0.5 * (X + X.T)
+        # est deliberately optimistic (simulates a missed-negativity
+        # Lanczos sweep): the certificate must still catch the violation
+        got = dimacs._certified_block_min_eval(X, est=0.0)
+        assert got <= lam_min + 1e-12  # never under-reports the violation
+        if lam_min < 0:
+            # over-report bounded by the decade ladder + rounding slack
+            assert got >= 20.0 * lam_min - 1e-10
