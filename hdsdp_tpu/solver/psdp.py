@@ -121,6 +121,20 @@ class PSDPRefiner:
         Xscal = [Xg for Xg in X]
         ipm.log.info("HDSDP nearly converges. Primal refinement starts.")
 
+        # Operator-mode composition (round 5): when the dual solve ran
+        # matrix-free (kkt_free) the refiner still works — it either
+        # materializes its own X-weighted M once (the reference's
+        # factor-once/solve-many, hdsdp_psdp.c:203-207) while m is small
+        # enough to afford a dense system, or runs every PSDP KKT solve
+        # through the same matrix-free Jacobi-PCG machinery with X in
+        # place of S^-1 (M_ij = tr(A_i X A_j X) has the identical
+        # operator form).
+        use_operator = bool(getattr(ipm, "kkt_free", False)) and (
+            m > p.op_materialize_cap
+            or getattr(ipm, "_op_mat_unavailable", False)
+        )
+        op_state: dict = {}
+
         def fail(reason: str) -> bool:
             # ref HPSDPIRecover + "Primal method fails. Switch back to
             # dual method." (hdsdp_psdp.c:449-455)
@@ -132,7 +146,17 @@ class PSDPRefiner:
             return False
 
         def factor_primal_kkt():
-            from hdsdp_tpu.solver.cones import KKTOut
+            from hdsdp_tpu.solver.cones import KKTOut, _kkt_diag
+
+            if use_operator:
+                # the "factor" is the exact Jacobi diagonal of the
+                # X-weighted Schur operator (the matrix-free analogue of
+                # the reference's one-time HKKTFactorize)
+                diag = _kkt_diag(groups, None, tuple(Xscal), None, m)
+                reg = 1e-16 * float(jnp.max(diag)) + 1e-300
+                op_state["extra"] = jnp.full((m,), reg, diag.dtype)
+                op_state["pinv"] = 1.0 / jnp.maximum(diag + reg, 1e-300)
+                return
 
             M = _build_primal_kkt(
                 groups, Xscal, m, hp=bool(getattr(ipm.cones, 'kkt_hp', False))
@@ -146,8 +170,39 @@ class PSDPRefiner:
                 trace_sinv=None,
             )
             # factor-once / solve-many: bypass the CG policy (ref
-            # HKKTFactorize once, hdsdp_psdp.c:203-207)
-            ipm.factor_kkt(force_direct=not ipm._row_sharded())
+            # HKKTFactorize once, hdsdp_psdp.c:203-207).  Under operator
+            # mode factor_kkt would short-circuit to the dual operator
+            # state, so the flag is dropped around the primal factor.
+            saved_free = ipm.kkt_free
+            ipm.kkt_free = False
+            try:
+                ipm.factor_kkt(force_direct=not ipm._row_sharded())
+            finally:
+                ipm.kkt_free = saved_free
+
+        def solve_primal_kkt(rhs):
+            """M dy = rhs against the X-weighted system (direct factor
+            or restarted matrix-free Jacobi-PCG chunks)."""
+            if not use_operator:
+                return ipm.solve_kkt(rhs)
+            B = rhs[:, None]
+            sol = jnp.zeros_like(B)
+            R = B
+            chunk = max(p.kkt_free_maxiter, 600)
+            bscale = max(float(jnp.linalg.norm(rhs)), 1.0)
+            for _ in range(8):
+                dsol, _, _ = ipm.cones.kkt_pcg(
+                    tuple(Xscal), None, op_state["extra"],
+                    op_state["pinv"], R,
+                    abs_tol=1e-10, rel_tol=1e-10, max_iter=chunk,
+                )
+                sol = sol + dsol
+                R = B - ipm.cones.kkt_matvec(
+                    tuple(Xscal), None, op_state["extra"], sol
+                )
+                if float(jnp.linalg.norm(R)) <= 1e-08 * bscale:
+                    break
+            return sol[:, 0]
 
         factor_primal_kkt()
 
@@ -165,7 +220,7 @@ class PSDPRefiner:
                 _xsx(Xg, Sg) / mu - Xg for Xg, Sg in zip(X, ipm.S)
             ]
             rhs = ipm.cones.atx(buf, None) + rp
-            dy = ipm.solve_kkt(rhs) * mu
+            dy = solve_primal_kkt(rhs) * mu
 
             # dual ratio test; dS = -A'dy (Rd = 0)
             dS, _ = ipm.cones.assemble(0.0, -1.0, dy, 0.0)

@@ -85,6 +85,59 @@ def test_operator_matches_dense(examples_dir, name):
     np.testing.assert_allclose(np.asarray(X), Xd, atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.parametrize("name", ["maxcut120", "theta60"])
+def test_kkt_rows_chunks_match_dense(examples_dir, name):
+    """The row-chunked KKT build (the f32-preconditioner materializer,
+    round 5) must reproduce the dense M row-for-row, including the
+    diagonal bound/reg terms, for every chunkable bucket."""
+    prob = _prob(examples_dir, name)
+    cs = ConeSystem(prob)
+    assert cs.kkt_rows_supported()
+    m = prob.m
+
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(rng.normal(size=m) * 0.01)
+    shift = 10.0 + prob.features.obj_fro_norm
+    S, s_lp = cs.assemble(1.0, -1.0, y, shift)
+    ok, L = cs.factor(S, s_lp)
+    assert bool(ok)
+    kkt = cs.build_kkt(L, s_lp, -1.3, "inf")
+    Us = cs.inverses(L)
+
+    extra = jnp.asarray(rng.uniform(0.5, 2.0, size=m))
+    M = np.asarray(kkt.M) + np.diag(np.asarray(extra))
+    scale = max(1.0, np.abs(M).max())
+
+    chunk = 48
+    got = np.zeros((m, m))
+    i0s = list(range(0, m - chunk + 1, chunk))
+    if not i0s or i0s[-1] + chunk < m:
+        i0s.append(m - chunk)
+    for i0 in i0s:
+        got[i0:i0 + chunk] = np.asarray(
+            cs.kkt_rows(Us, s_lp, extra, i0, chunk)
+        )
+    np.testing.assert_allclose(got, M, atol=1e-9 * scale)
+
+
+def test_operator_chol_precond_engages_and_solves():
+    """The operator-mode f32 Cholesky preconditioner (round 5, VERDICT
+    #4) must build via the chunked materializer, drive the CG, and reach
+    the dense path's optimum even with a starved Jacobi budget."""
+    prob = _prob(None, "theta60")
+    ref = HDSDPSolver(prob).optimize()
+    s = HDSDPSolver(
+        prob, kkt_mode="free", kkt_free_maxiter=40, op_precond_chunk=64,
+        op_materialize_cap=0,  # tier 3 off: the preconditioner must carry
+    )
+    r = s.optimize()
+    assert r.status == "PRIMAL_DUAL_OPTIMAL"
+    assert r.d_obj == pytest.approx(ref.d_obj, rel=1e-06, abs=1e-06)
+    assert r.stats.get("op_pc_builds", 0) >= 1, (
+        "the f32 operator preconditioner never engaged"
+    )
+
+
 def test_operator_mode_end_to_end(examples_dir):
     prob = _prob(examples_dir, "theta60")
     ref = HDSDPSolver(prob).optimize()
