@@ -46,3 +46,21 @@ def test_large_m_adaptive_cg_path():
         "AdaptiveCG never engaged at m >= 4096"
     )
     assert r.stats["cg_n_factor"] < r.stats["cg_n_solve"]
+
+
+@slow
+def test_flagship_shape_mesh_dryrun():
+    """VERDICT r4 #8: the BASELINE 'host -> pod at m >= 10k' claim gets
+    correctness-shape evidence — one torus-22-sized (m = n = 10648)
+    row-sharded KKT build + distributed blocked Cholesky + 3 KKT solves
+    on the 8-virtual-device CPU mesh, asserting that no device ever
+    holds all of M (the whole point of the row sharding)."""
+    import __graft_entry__ as ge
+
+    os.environ["HDSDP_DRYRUN_FLAGSHIP"] = "1"
+    try:
+        import jax
+
+        ge.dryrun_multichip(len(jax.devices()))
+    finally:
+        del os.environ["HDSDP_DRYRUN_FLAGSHIP"]
