@@ -647,13 +647,15 @@ def group_schur_rows(
     traced scalar: one compilation covers every chunk.
 
     Supported: the three slot-major buckets (diag / bounded-support /
-    generic slot) with an empty dense bucket — exactly the shapes that
-    reach operator scale.  Returns None when the layout is not chunkable
-    (flat multi-block or dense slots); the caller falls back to Jacobi.
+    generic slot), including their (small) dense bucket — exactly the
+    shapes that reach operator scale (the theta family's identity row is
+    a dense slot).  Returns None when the layout is not chunkable (flat
+    multi-block); the caller falls back to Jacobi.
     """
-    if ga.Ad.shape[0] or ga.Fs is None:
+    if ga.Fs is None:
         return None
     U0 = U[0]
+    md = ga.Ad.shape[0]
 
     def rows(a, axis):
         return jax.lax.dynamic_slice_in_dim(a, i0, chunk, axis)
@@ -667,9 +669,8 @@ def group_schur_rows(
         else:
             p = ga.dpos
             Usub = U0[rows(p, 0)][:, p]
-        return (wr[:, None] * w[None, :]) * (Usub * Usub)
-
-    if ga.spos is not None:
+        M = (wr[:, None] * w[None, :]) * (Usub * Usub)
+    elif ga.spos is not None:
         P, V, w = ga.spos, ga.sval, ga.lams  # [r, m, c], [r, m]
         r, _, c = P.shape
         M = jnp.zeros((chunk, m), U.dtype)
@@ -684,17 +685,52 @@ def group_schur_rows(
                             :, P[k][:, b]
                         ]
                 M = M + (wr[:, None] * w[k][None, :]) * (T * T)
-        return M
+    else:
+        # generic slot-major: r^2 [chunk, n] x [n, m] matmuls
+        r = ga.Fs.shape[0]
+        M = jnp.zeros((chunk, m), U.dtype)
+        for j in range(r):
+            FUr = rows(ga.Fs[j], 0) @ U0  # [chunk, n]
+            wr = rows(ga.lams[j], 0)
+            for k in range(r):
+                T = FUr @ ga.Fs[k].T  # [chunk, m]
+                M = M + (wr[:, None] * ga.lams[k][None, :]) * (T * T)
 
-    # generic slot-major: r(r+1)-ish [chunk, n] x [n, m] matmuls
-    r = ga.Fs.shape[0]
-    M = jnp.zeros((chunk, m), U.dtype)
-    for j in range(r):
-        FUr = rows(ga.Fs[j], 0) @ U0  # [chunk, n]
-        wr = rows(ga.lams[j], 0)
-        for k in range(r):
-            T = FUr @ ga.Fs[k].T  # [chunk, m]
-            M = M + (wr[:, None] * ga.lams[k][None, :]) * (T * T)
+    if md:
+        # dense slots (md is small — e.g. the theta identity row).
+        # cross[d, i] = contribution of dense slot d against constraint
+        # i's low-rank part; dense constraints hold no low-rank slot, so
+        # no entry is double-counted.
+        B, _ = _dense_congruence(ga, U)  # [md, n, n]
+        if ga.dpos is not None:
+            dB = jnp.diagonal(B, axis1=-2, axis2=-1)  # [md, n]
+            cross = ga.dw[None, :] * (
+                dB if ga.dpos.shape[0] == 0 else dB[:, ga.dpos]
+            )
+        elif ga.spos is not None:
+            P, V = ga.spos, ga.sval
+            Bsup = B[:, P[:, :, :, None], P[:, :, None, :]]  # [md,r,m,c,c]
+            cross = jnp.einsum(
+                "djiab,jia,jib,ji->di", Bsup, V, V, ga.lams, optimize=True
+            )
+        else:
+            def cross_one(Bi):
+                FB = jnp.einsum("jan,nm->jam", ga.Fs, Bi, optimize=True)
+                return jnp.sum(
+                    ga.lams * jnp.sum(FB * ga.Fs, axis=-1), axis=0
+                )
+
+            cross = jax.lax.map(cross_one, B)  # [md, m]
+        Mdd = jnp.einsum("ipq,jpq->ij", B, ga.Ad, optimize=True)  # [md, md]
+        Ed = jax.nn.one_hot(ga.didx, m, dtype=U.dtype)  # [md, m]
+        # low-rank rows of the chunk x dense columns
+        cross_chunk = jax.lax.dynamic_slice(cross, (0, i0), (md, chunk))
+        M = M + cross_chunk.T @ Ed
+        # dense rows that fall inside the chunk (full row incl. dense-
+        # dense block); out-of-chunk slots one_hot to zero rows
+        rowvals = cross + Mdd @ Ed  # [md, m]
+        Erel = jax.nn.one_hot(ga.didx - i0, chunk, dtype=U.dtype)  # [md,chunk]
+        M = M + Erel.T @ rowvals
     return M
 
 

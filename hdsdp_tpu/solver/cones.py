@@ -632,11 +632,10 @@ class ConeSystem:
         )
 
     def kkt_rows_supported(self) -> bool:
-        """True when every group is row-chunkable (slot-major, no dense
-        slots) so the f32 preconditioner can be materialized in chunks."""
-        return all(
-            ga.Fs is not None and ga.Ad.shape[0] == 0 for ga in self.groups
-        )
+        """True when every group is row-chunkable (slot-major layout,
+        dense slots allowed) so the f32 preconditioner can be
+        materialized in chunks."""
+        return all(ga.Fs is not None for ga in self.groups)
 
     def kkt_rows(self, Us, s_lp, bound_extra, i0, chunk: int):
         """Rows [i0, i0+chunk) of the full KKT matrix, [chunk, m]."""
