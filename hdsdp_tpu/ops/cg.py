@@ -195,6 +195,18 @@ def factor_scaled_f32(Ms):
     return Linv, ok
 
 
+def use_dd_full_tier(m: int) -> bool:
+    """Full-precision-tier backend gate for AdaptiveCG: on TPU at scale
+    the escalation past f32 runs the double-single blocked MXU factor
+    (ops.ddchol, ~2^-45 — kappa coverage to ~3e13) instead of XLA's
+    emulated f64 Cholesky, whose factor AND triangular applies dominate
+    the endgame (round-5 torus-22 ledger: ~570 s of a 660 s KKT-solve
+    total).  Below the gate the f64 latency floor is irrelevant."""
+    from hdsdp_tpu.utils.platform import is_tpu
+
+    return m >= 4096 and is_tpu()
+
+
 def use_hp_residual(m: int) -> bool:
     """Residual-matmul backend gate for refine_solve: XLA's emulated-f64
     dot_general materializes an [8, m, k_contract] f32 operand expansion
@@ -357,6 +369,25 @@ class AdaptiveCG:
         import time as _time
 
         t0 = _time.time()
+        if not f32 and use_dd_full_tier(M.shape[0]):
+            # full-precision tier on TPU at scale: the double-single
+            # blocked MXU factor (~2^-45, covers kappa to ~3e13) instead
+            # of XLA's emulated f64 Cholesky + emulated f64 triangular
+            # applies.  Round-5 torus-22 ledger: the f64 tier's 22
+            # factors + their refine applies were ~570 s of the 660 s
+            # KKT solve total; the DD factor solves apply on the MXU.
+            from . import ddchol
+
+            fac = ddchol.factor(M)
+            self.n_factor += 1
+            self._fresh = True
+            if not bool(ddchol.ok(fac)):
+                self.chol_fac = None
+                self.history.append(("factor_dd", "fail", _time.time() - t0))
+                return False
+            self.chol_fac = (fac, None, "dd")
+            self.history.append(("factor_dd", "ok", _time.time() - t0))
+            return True
         inv = f32 and use_inverted_precond(M.shape[0])
         L, s, ok = _equilibrated_factor(M, f32=f32, inv=inv)
         self.n_factor += 1
@@ -374,16 +405,63 @@ class AdaptiveCG:
         )
         return True
 
+    def _refine_dd(self, M, B):
+        """Refinement sweeps against the DD factor: every O(m^2)+ piece
+        (residual matmul, triangular applies) runs on the MXU; the
+        acceptance level matches refine_solve's backward-stable floor."""
+        from . import ddchol
+
+        fac = self.chol_fac[0]
+        m = M.shape[0]
+        hp = use_hp_residual(m)
+        if hp:
+            from hdsdp_tpu.ops import hpmm as hpmm_ops
+
+            m_sl, e_m = hpmm_ops.hpmm_slice_a(M)
+
+            def mdot(X):
+                return hpmm_ops.hpmm_presliced(m_sl, e_m, X)
+
+            eps_res = 2.0 ** -45
+        else:
+            def mdot(X):
+                return M @ X
+
+            eps_res = 2.220446049250313e-16
+        bnorm = float(jnp.max(jnp.linalg.norm(B, axis=0)))
+        mnorm = float(jnp.max(jnp.sum(jnp.abs(M), axis=1)))
+        X = ddchol.solve(fac, B)
+        it = 0
+        rn_prev = None
+        for it in range(1, self.max_iter + 1):
+            R = B - mdot(X)
+            rn = float(jnp.max(jnp.linalg.norm(R, axis=0)))
+            if rn != rn:
+                return X, STATUS_NUMERICAL, it
+            xnorm = float(jnp.max(jnp.linalg.norm(X, axis=0)))
+            stable = 16.0 * eps_res * (bnorm + mnorm * xnorm)
+            tol = max(self.abs_tol, self.rel_tol * bnorm, stable)
+            if rn < tol:
+                return X, STATUS_OK, it
+            if rn_prev is not None and rn > 0.9 * rn_prev:
+                return X, STATUS_MAXITER, it
+            rn_prev = rn
+            X = X + ddchol.solve(fac, R)
+        return X, STATUS_MAXITER, it
+
     def _refine(self, M, rhs_mat):
         import time as _time
 
         t0 = _time.time()
         L, s, inv = self.chol_fac
-        X, status, iters = refine_solve(
-            M, L, s, rhs_mat, max_iter=self.max_iter,
-            abs_tol=self.abs_tol, rel_tol=self.rel_tol,
-            pre_inverted=inv, hp_residual=use_hp_residual(M.shape[0]),
-        )
+        if inv == "dd":
+            X, status, iters = self._refine_dd(M, rhs_mat)
+        else:
+            X, status, iters = refine_solve(
+                M, L, s, rhs_mat, max_iter=self.max_iter,
+                abs_tol=self.abs_tol, rel_tol=self.rel_tol,
+                pre_inverted=inv, hp_residual=use_hp_residual(M.shape[0]),
+            )
         self.last_iters = int(iters)
         self.last_status = int(status)
         self.history.append(
@@ -443,9 +521,12 @@ class AdaptiveCG:
                 if self.last_iters > self.reuse_threshold:
                     self.chol_fac = None  # refresh on the next system
                 return X, True
-            if self._fresh and self.chol_fac[0].dtype == jnp.float64:
+            full_tier = self.chol_fac[2] == "dd" or (
+                getattr(self.chol_fac[0], "dtype", None) == jnp.float64
+            )
+            if self._fresh and full_tier:
                 self.chol_fac = None
-                return X, False  # fresh f64 factor did not converge
+                return X, False  # fresh full-precision factor failed
             self.chol_fac = None  # stale (or fresh-f32): escalate below
 
         if self._f64_left == 0:
