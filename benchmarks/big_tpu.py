@@ -32,7 +32,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 
 from hdsdp_tpu.models.problem import SDPProblem
-from hdsdp_tpu.models.synthetic import maxcut_sdpa, theta_sdpa, torus_sdpa
+from hdsdp_tpu.models.synthetic import (
+    control_sdpa,
+    gpp_sdpa,
+    maxcut_sdpa,
+    qpg_sdpa,
+    theta_sdpa,
+    torus_sdpa,
+)
 
 # name -> (generator, kwargs).  Sizes are the published SDPLIB shapes.
 INSTANCES = {
@@ -40,6 +47,13 @@ INSTANCES = {
     "theta12": (theta_sdpa, dict(n=600, n_edges=17978)),  # m = 17979, n = 600
     "theta6": (theta_sdpa, dict(n=300, n_edges=4374)),    # m = 4375, n = 300
     "maxG55": (maxcut_sdpa, dict(n=5000)),             # m = n = 5000
+    # multi-block / mixed-cone breadth at published size (VERDICT r4 #6)
+    "control10": (control_sdpa, dict(k=50, n_sys=2)),  # control10 class:
+    #   blocks [100, 50], m ~ 1275 — multi-block Lyapunov structure
+    "equalG51": (gpp_sdpa, dict(n=1000)),              # n = 1000, m = 1001:
+    #   diag bucket + dense all-ones row (equalG51 published shape)
+    "qpG51": (qpg_sdpa, dict(n=1000)),                 # SDP 1000 + LP 1000,
+    #   m = 1000: SDP+LP coupling at qpG51's published shape
 }
 
 name = sys.argv[1] if len(sys.argv) > 1 else "torus22"
