@@ -46,6 +46,30 @@ def test_adaptive_cg_escalates_on_illconditioned():
     assert cg.n_factor == nf
 
 
+def test_adaptive_cg_dd_full_tier(monkeypatch):
+    """The TPU full-precision tier (DD blocked MXU factor + DD-solve
+    refinement, round 5) must deliver the same escalation semantics as
+    the f64 tier it replaces: kappa ~ 1e10 solves to direct-solve
+    accuracy, factor_dd recorded in the ledger, stale reuse intact."""
+    from hdsdp_tpu.ops import cg as cg_mod
+
+    monkeypatch.setattr(cg_mod, "use_dd_full_tier", lambda m: True)
+    m = 80
+    M = _spd(m, seed=3, cond=1e10)
+    rhs = jnp.asarray(np.random.default_rng(4).normal(size=(m, 2)))
+    cg = cg_mod.AdaptiveCG()
+    X, ok = cg.solve_mat_checked(M, rhs)
+    assert ok
+    X_ref = np.linalg.solve(np.asarray(M), np.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(X), X_ref, rtol=1e-5, atol=1e-6)
+    kinds = [k for k, _, _ in cg.history]
+    assert "factor_dd" in kinds, kinds
+    # second solve with a nearby matrix reuses the stale DD factor
+    nf = cg.n_factor
+    X2, ok2 = cg.solve_mat_checked(M + 1e-6 * jnp.eye(m), rhs)
+    assert ok2 and cg.n_factor == nf
+
+
 def test_sharded_pcg_matches_direct():
     mesh = make_mesh(8)
     m = 100  # not a multiple of 8: exercises padding
