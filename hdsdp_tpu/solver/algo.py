@@ -577,19 +577,18 @@ class DualIPM:
         if hasattr(self.cones, "_lz_warm"):
             self.cones._lz_warm = None
 
-    def _op_build_precond(self) -> bool:
-        """Materialize an equilibrated f32 copy of the CURRENT operator
-        M in row chunks and keep its inverted Cholesky factor as the CG
-        preconditioner (round 5, VERDICT #4).  No f64 m x m ever exists;
-        each chunk is a small program that compiles at sizes where the
-        monolithic build wedges the remote pipeline (m = 25001, r4)."""
+    def _build_chunked_precond(self, Us, slp, extra, diag):
+        """Materialize an equilibrated f32 copy of the operator M (given
+        scaling operands Us — S^-1 for the dual system, X for PSDP's) in
+        row chunks and return its inverted Cholesky factor (Linv, s), or
+        None.  No f64 m x m ever exists; each chunk is a small program
+        that compiles at sizes where the monolithic build wedges the
+        remote pipeline (m = 25001, r4)."""
         import time as _time
 
         t0 = _time.time()
         p = self.params
         m = self.m
-        extra = self._op_bound + self._op_reg
-        diag = self._op_diag + self._op_reg
         s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-300))
         chunk = min(p.op_precond_chunk, m)
         i0s = list(range(0, m - chunk + 1, chunk))
@@ -597,9 +596,7 @@ class DualIPM:
             i0s.append(m - chunk)  # final (possibly overlapping) chunk
         Ms = jnp.zeros((m, m), jnp.float32)
         for i0 in i0s:
-            rows = self.cones.kkt_rows(
-                self._op_Us, self._op_slp, extra, i0, chunk
-            )
+            rows = self.cones.kkt_rows(Us, slp, extra, i0, chunk)
             sr = jax.lax.dynamic_slice_in_dim(s, i0, chunk)
             rows32 = (sr[:, None] * rows * s[None, :]).astype(jnp.float32)
             Ms = jax.lax.dynamic_update_slice(Ms, rows32, (i0, 0))
@@ -616,8 +613,6 @@ class DualIPM:
             else:
                 Linv, ok = factor_scaled_f32(Ms)
             if bool(ok):
-                del Ms
-                self._op_pc = (Linv, s)
                 self._factor_stats["op_pc_builds"] = (
                     self._factor_stats.get("op_pc_builds", 0) + 1
                 )
@@ -625,11 +620,20 @@ class DualIPM:
                     f"operator f32 preconditioner refreshed "
                     f"(boost {dl:g}, {_time.time() - t0:.1f}s)"
                 )
-                return True
-        self._op_pc = None
-        self._op_pc_unavailable = True
+                return (Linv, s)
         self.log.warning("operator f32 preconditioner factor failed (NaN)")
-        return False
+        return None
+
+    def _op_build_precond(self) -> bool:
+        pc = self._build_chunked_precond(
+            self._op_Us, self._op_slp,
+            self._op_bound + self._op_reg,
+            self._op_diag + self._op_reg,
+        )
+        self._op_pc = pc
+        if pc is None:
+            self._op_pc_unavailable = True
+        return pc is not None
 
     def _op_solve(self, B: jnp.ndarray):
         """CG solve of M X = B on the matrix-free operator.

@@ -643,6 +643,21 @@ class ConeSystem:
             self.groups, self.lp, Us, s_lp, bound_extra, i0, self.m, chunk
         )
 
+    def kkt_full_from_rows(self, Us, s_lp, bound_extra, chunk: int = 2048):
+        """The full [m, m] KKT matrix assembled from row chunks — for
+        factor-once consumers (PSDP) at sizes where the monolithic
+        with_m build program does not compile (observed m = 25001)."""
+        m = self.m
+        chunk = min(chunk, m)
+        i0s = list(range(0, m - chunk + 1, chunk))
+        if not i0s or i0s[-1] + chunk < m:
+            i0s.append(m - chunk)
+        M = jnp.zeros((m, m), self.dtype)
+        for i0 in i0s:
+            rows = self.kkt_rows(Us, s_lp, bound_extra, i0, chunk)
+            M = jax.lax.dynamic_update_slice(M, rows, (i0, 0))
+        return M
+
     # -- ratio test --------------------------------------------------------
     ratio_mode: str = "auto"
     lanczos_dim: int = 30

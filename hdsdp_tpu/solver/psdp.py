@@ -131,6 +131,10 @@ class PSDPRefiner:
         # operator form).
         use_operator = bool(getattr(ipm, "kkt_free", False)) and (
             m > p.op_materialize_cap
+            # a dense f64 M plus its DD-factor workspace is ~24 m^2
+            # bytes — above ~22k rows that crowds a 16 GB device, and
+            # the chol-preconditioned PCG is factorization-grade anyway
+            or 24.0 * m * m > 12e9
             or getattr(ipm, "_op_mat_unavailable", False)
         )
         op_state: dict = {}
@@ -151,16 +155,36 @@ class PSDPRefiner:
             if use_operator:
                 # the "factor" is the exact Jacobi diagonal of the
                 # X-weighted Schur operator (the matrix-free analogue of
-                # the reference's one-time HKKTFactorize)
+                # the reference's one-time HKKTFactorize), upgraded to
+                # the chunk-materialized f32 Cholesky preconditioner
+                # when the layout supports it (same machinery as the
+                # dual operator path, round 5)
                 diag = _kkt_diag(groups, None, tuple(Xscal), None, m)
                 reg = 1e-16 * float(jnp.max(diag)) + 1e-300
                 op_state["extra"] = jnp.full((m,), reg, diag.dtype)
                 op_state["pinv"] = 1.0 / jnp.maximum(diag + reg, 1e-300)
+                op_state["pc"] = None
+                if (
+                    p.op_precond_cap > 0
+                    and m <= p.op_precond_cap
+                    and ipm.cones.kkt_rows_supported()
+                ):
+                    op_state["pc"] = ipm._build_chunked_precond(
+                        tuple(Xscal), None, op_state["extra"], diag + reg
+                    )
                 return
 
-            M = _build_primal_kkt(
-                groups, Xscal, m, hp=bool(getattr(ipm.cones, 'kkt_hp', False))
-            )
+            # the monolithic with_m build program does not compile at
+            # m = 25001 on this box (r4 tier-3 evidence): assemble the
+            # X-weighted M from row chunks when the layout allows
+            hp = bool(getattr(ipm.cones, 'kkt_hp', False))
+            if ipm.cones.kkt_rows_supported() and m >= 8192:
+                zero = jnp.zeros((m,), ipm.dtype)
+                M = ipm.cones.kkt_full_from_rows(
+                    tuple(Xscal), None, zero, chunk=p.op_precond_chunk
+                )
+            else:
+                M = _build_primal_kkt(groups, Xscal, m, hp=hp)
             # regularize (ref HKKTRegularize with 1e-16 coefficient)
             reg = 1e-16 * float(jnp.max(jnp.diag(M))) + 1e-300
             ipm.kkt = KKTOut(
@@ -181,11 +205,23 @@ class PSDPRefiner:
                 ipm.kkt_free = saved_free
 
         def solve_primal_kkt(rhs):
-            """M dy = rhs against the X-weighted system (direct factor
-            or restarted matrix-free Jacobi-PCG chunks)."""
+            """M dy = rhs against the X-weighted system (direct factor,
+            chol-preconditioned CG, or restarted Jacobi-PCG chunks)."""
             if not use_operator:
                 return ipm.solve_kkt(rhs)
             B = rhs[:, None]
+            if op_state.get("pc") is not None:
+                Linv, s = op_state["pc"]
+                sol, res, _ = ipm.cones.kkt_pcg_chol(
+                    tuple(Xscal), None, op_state["extra"], Linv, s, B,
+                    abs_tol=1e-10, rel_tol=1e-10,
+                    max_iter=max(p.kkt_free_maxiter, 600),
+                )
+                if float(jnp.max(res)) <= 1e-06 * max(
+                    float(jnp.linalg.norm(rhs)), 1.0
+                ):
+                    return sol[:, 0]
+                # fall through to the Jacobi chunks warm-started below
             sol = jnp.zeros_like(B)
             R = B
             chunk = max(p.kkt_free_maxiter, 600)
