@@ -844,6 +844,13 @@ class DualIPM:
         X = ddchol.solve(fac, B)
         worst = None
         bscale = jnp.maximum(jnp.linalg.norm(B, axis=0), 1e-300)
+        # backward-stable acceptance (same floor as refine_solve): at
+        # kappa ~> 2^45 demanding a smaller residual is unreachable for
+        # ANY solver evaluating residuals at DD precision, and the f64
+        # fallback below costs minutes of emulated Cholesky at m ~ 10k
+        bnorm = float(jnp.max(jnp.linalg.norm(B, axis=0)))
+        mnorm = float(jnp.max(jnp.sum(jnp.abs(M), axis=1)))
+        eps_dd = 2.0 ** -45
         for _ in range(3):
             R = B - M @ X
             worst = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
@@ -852,7 +859,9 @@ class DualIPM:
             X = X + ddchol.solve(fac, R)
         R = B - M @ X
         worst = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
-        if worst <= 1e-09:
+        xnorm = float(jnp.max(jnp.linalg.norm(X, axis=0)))
+        stable_rel = 16.0 * eps_dd * (bnorm + mnorm * xnorm) / max(bnorm, 1e-300)
+        if worst <= max(1e-09, stable_rel):
             return X
         # refinement stalled (kappa ~> 2^45): escalate to the f64 ladder
         # and KEEP the factor — every later solve against this same M
