@@ -123,5 +123,9 @@ print(json.dumps({
     "dimacs": [float(f"{e:.3e}") for e in r.dimacs],
     "peak_hbm_gb": round(peak / 2**30, 2) if peak else None,
     "tail_s": {k: round(v, 2) for k, v in _tails.items()},
+    "check_detail": {
+        k: round(v, 2)
+        for k, v in getattr(solver.ipm, "_check_times", {}).items()
+    },
     "cg": solver.ipm._factor_stats.get("cg_summary"),
 }), flush=True)

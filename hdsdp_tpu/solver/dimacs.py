@@ -520,10 +520,18 @@ def _dimacs_errors(ipm, maker) -> Optional[np.ndarray]:
         p_inf_norm = float(jnp.linalg.norm(ax - ipm.b))
         return _errors_from_parts(ipm, p_obj, d_obj, compl, min_eval, p_inf_norm)
 
+    import time as _time
+
+    times = getattr(ipm, "_check_times", None)
+    if times is None:
+        times = ipm._check_times = {}
+    t0 = _time.time()
     out = _consistent_maker_solve(ipm, maker)
+    times["maker_solve"] = times.get("maker_solve", 0.0) + _time.time() - t0
     if out is None:
         return None
     Us, sbar_lp, dy = out
+    t0 = _time.time()
     p_obj, d_obj, compl, min_evals, lp_min, p_inf_norm, X_list = _dimacs_eval(
         cones.groups,
         cones.lp,
@@ -537,6 +545,10 @@ def _dimacs_errors(ipm, maker) -> Optional[np.ndarray]:
         sbar_lp,
         ipm.m,
     )
+    # force the eval's device work before timing the certificate
+    p_inf_norm = float(np.asarray(p_inf_norm))
+    times["eval"] = times.get("eval", 0.0) + _time.time() - t0
+    t0 = _time.time()
     # blocks large enough to have used the Lanczos ESTIMATE get the
     # try-Cholesky certificate (the estimate can only under-report a
     # violation; the certificate can only over-report — VERDICT r4 #7)
@@ -552,11 +564,12 @@ def _dimacs_errors(ipm, maker) -> Optional[np.ndarray]:
             min_eval = min(min_eval, float(me))
     if cones.has_lp:
         min_eval = min(min_eval, float(lp_min))
+    times["certify"] = times.get("certify", 0.0) + _time.time() - t0
     return _errors_from_parts(
         ipm,
         float(np.asarray(p_obj)),
         float(np.asarray(d_obj)),
         float(np.asarray(compl)),
         min_eval,
-        float(np.asarray(p_inf_norm)),
+        p_inf_norm,
     )
