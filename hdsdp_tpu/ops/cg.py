@@ -385,7 +385,11 @@ class AdaptiveCG:
                 self.chol_fac = None
                 self.history.append(("factor_dd", "fail", _time.time() - t0))
                 return False
-            self.chol_fac = (fac, None, "dd")
+            # pre-invert: G = L^-1 as a DD pair, so every solve apply is
+            # two MXU hpmm_dd matmuls instead of a panel-serial
+            # substitution (stale DD refines were 1.7 s/call without it)
+            gh, gl = ddchol.tri_inverse(fac)
+            self.chol_fac = ((gh, gl), None, "dd")
             self.history.append(("factor_dd", "ok", _time.time() - t0))
             return True
         inv = f32 and use_inverted_precond(M.shape[0])
@@ -406,13 +410,24 @@ class AdaptiveCG:
         return True
 
     def _refine_dd(self, M, B):
-        """Refinement sweeps against the DD factor: every O(m^2)+ piece
-        (residual matmul, triangular applies) runs on the MXU; the
+        """Refinement sweeps against the pre-inverted DD factor: every
+        O(m^2)+ piece (residual matmul, G applies) runs on the MXU; the
         acceptance level matches refine_solve's backward-stable floor."""
-        from . import ddchol
+        from . import dd as dd_ops
+        from . import hpmm as hpmm_g
 
-        fac = self.chol_fac[0]
+        gh, gl = self.chol_fac[0]
         m = M.shape[0]
+        npad = gh.shape[0]
+
+        def papply(R):
+            # A^-1 R = G^T (G R), all DD on the MXU
+            Rp = jnp.pad(R, ((0, npad - m), (0, 0))) if npad != m else R
+            rh, rl = dd_ops.from_f64(Rp)
+            yh, yl = hpmm_g.hpmm_dd(gh, gl, rh, rl)
+            xh, xl = hpmm_g.hpmm_dd(gh.T, gl.T, yh, yl)
+            return dd_ops.to_f64(xh, xl)[:m]
+
         hp = use_hp_residual(m)
         if hp:
             from hdsdp_tpu.ops import hpmm as hpmm_ops
@@ -430,7 +445,7 @@ class AdaptiveCG:
             eps_res = 2.220446049250313e-16
         bnorm = float(jnp.max(jnp.linalg.norm(B, axis=0)))
         mnorm = float(jnp.max(jnp.sum(jnp.abs(M), axis=1)))
-        X = ddchol.solve(fac, B)
+        X = papply(B)
         it = 0
         rn_prev = None
         for it in range(1, self.max_iter + 1):
@@ -446,7 +461,7 @@ class AdaptiveCG:
             if rn_prev is not None and rn > 0.9 * rn_prev:
                 return X, STATUS_MAXITER, it
             rn_prev = rn
-            X = X + ddchol.solve(fac, R)
+            X = X + papply(R)
         return X, STATUS_MAXITER, it
 
     def _refine(self, M, rhs_mat):
