@@ -844,13 +844,6 @@ class DualIPM:
         X = ddchol.solve(fac, B)
         worst = None
         bscale = jnp.maximum(jnp.linalg.norm(B, axis=0), 1e-300)
-        # backward-stable acceptance (same floor as refine_solve): at
-        # kappa ~> 2^45 demanding a smaller residual is unreachable for
-        # ANY solver evaluating residuals at DD precision, and the f64
-        # fallback below costs minutes of emulated Cholesky at m ~ 10k
-        bnorm = float(jnp.max(jnp.linalg.norm(B, axis=0)))
-        mnorm = float(jnp.max(jnp.sum(jnp.abs(M), axis=1)))
-        eps_dd = 2.0 ** -45
         for _ in range(3):
             R = B - M @ X
             worst = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
@@ -859,15 +852,13 @@ class DualIPM:
             X = X + ddchol.solve(fac, R)
         R = B - M @ X
         worst = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
-        xnorm = float(jnp.max(jnp.linalg.norm(X, axis=0)))
-        stable_rel = 16.0 * eps_dd * (bnorm + mnorm * xnorm) / max(bnorm, 1e-300)
-        # Accept anything at or below 1e-6 relative before paying for the
-        # f64 fallback: the IPM tolerates far larger solve inexactness
-        # (the CG path's stall bail-outs return rel ~1e-3 routinely, ref
-        # hdsdp_linsolver.c:1543-1546), the final DIMACS check re-solves
-        # its own consistent system, and the emulated-f64 ladder below
-        # costs ~minutes per engagement at m ~ 10k on this chip.
-        if worst <= max(1e-06, stable_rel):
+        # Do NOT relax this acceptance (tried in round 5, reverted): with
+        # rel ~3e-8 endgame solves the torus-22 tail needed 8+ extra
+        # iterations and re-entered this fallback every one of them —
+        # costlier than keeping the tail solves exact.  The emulated-f64
+        # ladder below runs rarely (~2 engagements/solve) and its compile
+        # is cached after the first.
+        if worst <= 1e-09:
             return X
         # refinement stalled (kappa ~> 2^45): escalate to the f64 ladder
         # and KEEP the factor — every later solve against this same M
