@@ -383,6 +383,12 @@ def _dimacs_eval(groups, lp, b, y, Rd, perturb, mk_mu, dy, Us, sbar_lp,
 
 def _consistent_maker_solve(ipm, maker):
     """(Us, sbar_lp, dy) for the maker, or None if Sbar is not PD."""
+    import time as _time
+
+    times = getattr(ipm, "_check_times", None)
+    if times is None:
+        times = ipm._check_times = {}
+    t0 = _time.time()
     cones = ipm.cones
     hp = bool(getattr(cones, "kkt_hp", False))
     with_m = not ipm.kkt_free
@@ -405,10 +411,16 @@ def _consistent_maker_solve(ipm, maker):
         jnp.asarray(ipm.bound_up, ipm.dtype),
         ipm.m, hp, with_m,
     )
-    if not bool(ok):
+    ok = bool(ok)
+    times["maker_kkt"] = times.get("maker_kkt", 0.0) + _time.time() - t0
+    if not ok:
         return None
+    t0 = _time.time()
     dy = _solve_maker_dy(ipm, Us, sbar_lp, M, d_bound, rhs)
     del M, rhs  # free the m x m system before the recovery congruences
+    if dy is not None:
+        dy.block_until_ready()
+    times["maker_dy"] = times.get("maker_dy", 0.0) + _time.time() - t0
     if dy is None:
         return None
     return Us, sbar_lp, dy
