@@ -120,6 +120,27 @@ def test_kkt_rows_chunks_match_dense(examples_dir, name):
     np.testing.assert_allclose(got, M, atol=1e-9 * scale)
 
 
+def test_kkt_full_from_rows_matches_dense(examples_dir):
+    """The chunk-assembled full KKT matrix (PSDP's factor-once path at
+    sizes where the monolithic with_m build cannot compile) must equal
+    the dense build elementwise."""
+    prob = _prob(examples_dir, "theta60")
+    cs = ConeSystem(prob)
+    m = prob.m
+    rng = np.random.default_rng(9)
+    y = jnp.asarray(rng.normal(size=m) * 0.01)
+    shift = 10.0 + prob.features.obj_fro_norm
+    S, s_lp = cs.assemble(1.0, -1.0, y, shift)
+    ok, L = cs.factor(S, s_lp)
+    assert bool(ok)
+    kkt = cs.build_kkt(L, s_lp, -1.3, "inf")
+    Us = cs.inverses(L)
+    zero = jnp.zeros((m,), jnp.float64)
+    M = np.asarray(cs.kkt_full_from_rows(Us, s_lp, zero, chunk=64))
+    scale = max(1.0, np.abs(M).max())
+    np.testing.assert_allclose(M, np.asarray(kkt.M), atol=1e-9 * scale)
+
+
 def test_operator_chol_precond_engages_and_solves():
     """The operator-mode f32 Cholesky preconditioner (round 5, VERDICT
     #4) must build via the chunked materializer, drive the CG, and reach
