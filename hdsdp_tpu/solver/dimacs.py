@@ -44,7 +44,9 @@ from hdsdp_tpu.solver.cones import (
     _factor,
     _inverses,
     _kkt_diag,
+    _kkt_matvec,
     _kkt_pcg,
+    _kkt_pcg_chol,
 )
 
 
@@ -310,18 +312,50 @@ def _chol_solve_ladder(M, rhs):
 
 def _solve_maker_dy(ipm, Us, sbar_lp, M, d_bound, rhs):
     """dy from the check-time KKT: dense Cholesky when M exists, else
-    the matrix-free Jacobi-PCG (operator mode)."""
+    matrix-free CG (operator mode) — with a fresh chunk-materialized f32
+    Cholesky preconditioner at the MAKER point when the layout supports
+    it (the Jacobi-only re-solve stalls at endgame conditioning, leaving
+    err1/err5 at ~1e-6; the chol-PCG reaches the direct path's grade)."""
     if M is not None:
         ok, dy = _chol_solve_ladder(M, rhs)
         return dy if bool(ok) else None
     cones = ipm.cones
     diag = _kkt_diag(cones.groups, cones.lp, Us, sbar_lp, ipm.m) + d_bound
+    p = ipm.params
+    if (
+        p.op_precond_cap > 0
+        and ipm.m <= p.op_precond_cap
+        and getattr(ipm, "mesh", None) is None
+        and cones.kkt_rows_supported()
+    ):
+        try:
+            pc = ipm._build_chunked_precond(Us, sbar_lp, d_bound, diag)
+        except RuntimeError:
+            pc = None
+        if pc is not None:
+            Linv, s = pc
+            B = rhs[:, None]
+            X = jnp.zeros_like(B)
+            R = B
+            chunk = max(p.kkt_free_maxiter, 600)
+            for _ in range(8):
+                dX, _, _ = _kkt_pcg_chol(
+                    cones.groups, cones.lp, Us, sbar_lp, d_bound, Linv,
+                    s, R, ipm.m, 1e-10, 1e-10, chunk,
+                )
+                X = X + dX
+                R = B - _kkt_matvec(
+                    cones.groups, cones.lp, Us, sbar_lp, d_bound, X, ipm.m
+                )
+                if float(jnp.max(jnp.linalg.norm(R, axis=0))) <= 1e-10 * max(
+                    float(jnp.linalg.norm(rhs)), 1.0
+                ):
+                    break
+            return X[:, 0]
     pinv = 1.0 / jnp.maximum(diag, 1e-300)
     # restarted chunks of kkt_free_maxiter per dispatch: one monolithic
     # 4x while_loop runs long enough for the remote TPU worker to
     # recycle it (same failure mode as the in-solve tier-2 extension)
-    from hdsdp_tpu.solver.cones import _kkt_matvec
-
     B = rhs[:, None]
     X = jnp.zeros_like(B)
     R = B
