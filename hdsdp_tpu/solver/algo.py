@@ -698,6 +698,11 @@ class DualIPM:
         # tier 0: once engaged (a previous Jacobi solve was inadequate),
         # the stale chol factor carries every subsequent system — the
         # ADPCG diag -> Cholesky escalation that STAYS escalated
+        if use_pc and getattr(self, "_op_pc_refresh", False):
+            # iteration-regret refresh was requested on the previous
+            # system: rebuild now (NOT dropping back to Jacobi first)
+            self._op_pc_refresh = False
+            self._op_build_precond()
         if use_pc and getattr(self, "_op_pc", None) is not None:
             X, worst, n_it = pcg_chol(B, self.params.kkt_free_maxiter)
             if worst <= 1e-06:
@@ -705,6 +710,7 @@ class DualIPM:
                     # ADPCG iteration-regret rule: converged but slowly —
                     # refresh before the next system
                     self._op_pc = None
+                    self._op_pc_refresh = True
                 return X
             # stale factor underperformed: refresh now, retry once
             if self._op_build_precond():

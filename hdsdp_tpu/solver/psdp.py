@@ -210,6 +210,8 @@ class PSDPRefiner:
             if not use_operator:
                 return ipm.solve_kkt(rhs)
             B = rhs[:, None]
+            sol = jnp.zeros_like(B)
+            R = B
             if op_state.get("pc") is not None:
                 Linv, s = op_state["pc"]
                 sol, res, _ = ipm.cones.kkt_pcg_chol(
@@ -221,9 +223,11 @@ class PSDPRefiner:
                     float(jnp.linalg.norm(rhs)), 1.0
                 ):
                     return sol[:, 0]
-                # fall through to the Jacobi chunks warm-started below
-            sol = jnp.zeros_like(B)
-            R = B
+                # keep the chol iterate: the Jacobi chunks below warm-
+                # start from its residual
+                R = B - ipm.cones.kkt_matvec(
+                    tuple(Xscal), None, op_state["extra"], sol
+                )
             chunk = max(p.kkt_free_maxiter, 600)
             bscale = max(float(jnp.linalg.norm(rhs)), 1.0)
             for _ in range(8):
