@@ -91,6 +91,11 @@ def _run_case(name: str):
     from hdsdp_tpu.solver.solver import HDSDPSolver
 
     fam, kw, baseline_s, golden_obj, dimacs_gate, overrides, _, _, _ = CASES[name]
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # CPU fallback: the host loop's per-op programs compile in
+        # seconds; the fused programs take minutes of XLA CPU compile
+        # and would eat the whole budget
+        overrides = dict(overrides, fused=False)
     gen = {"maxcut": maxcut_sdpa, "torus": torus_sdpa}[fam]
     prob = SDPProblem.from_sdpa(gen(**kw))
 
