@@ -78,7 +78,6 @@ ok, Us, sbar_lp, M, d_bound, rhs = dm._maker_kkt(
     jnp.asarray(ipm.perturb, ipm.dtype),
     jnp.asarray(ipm.bound_lo, ipm.dtype), jnp.asarray(ipm.bound_up, ipm.dtype),
     ipm.m, hp, True,
-    dd=bool(getattr(cones, "cone_dd", False)),
 )
 print(f"maker_kkt: ok={bool(ok)} t={time.time()-t0:.1f}s "
       f"M_finite={bool(jnp.all(jnp.isfinite(M)))} "

@@ -210,9 +210,9 @@ def _batch_min_eval(Xg: jnp.ndarray) -> jnp.ndarray:
 # ----------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("m", "hp", "with_m", "dd"))
+@partial(jax.jit, static_argnames=("m", "hp", "with_m"))
 def _maker_kkt(groups, lp, b, mk_mu, mk_y, perturb, lo, up, m: int,
-               hp: bool, with_m: bool, dd: bool = False):
+               hp: bool, with_m: bool):
     """Factor Sbar at the maker point, compute U = Sbar^-1, and build
     the KKT system (M + bound diag, rhs) from the SAME U.
 
@@ -227,11 +227,7 @@ def _maker_kkt(groups, lp, b, mk_mu, mk_y, perturb, lo, up, m: int,
     unaffected; the shift's effect on the errors is O(mu* delta), far
     below gap level for delta ~ 1e-14 ||Sbar||."""
     Sbar, sbar_lp = _assemble(groups, lp, 1.0, -1.0, mk_y, perturb)
-    # the cone factor honors the solve-time DD preference: at n >= 8192
-    # the emulated-f64 Cholesky costs minutes where the DD blocked
-    # factor costs seconds, and using the SAME factor class as the
-    # solve keeps the (mu*, U, dy) triple exactly as consistent
-    ok, Lbar = _factor(Sbar, sbar_lp, dd=dd)
+    ok, Lbar = _factor(Sbar, sbar_lp)
 
     scale = jnp.zeros((), b.dtype)
     for Sg in Sbar:
@@ -250,7 +246,7 @@ def _maker_kkt(groups, lp, b, mk_mu, mk_y, perturb, lo, up, m: int,
             Sg + delta * jnp.eye(Sg.shape[-1], dtype=Sg.dtype)
             for Sg in Sbar
         )
-        ok_s, L_s = _factor(S_shift, sbar_lp, dd=dd)
+        ok_s, L_s = _factor(S_shift, sbar_lp)
         L_c = tuple(
             jnp.where(ok_s, Ls, Lc) for Ls, Lc in zip(L_s, L_c)
         )
@@ -448,7 +444,6 @@ def _consistent_maker_solve(ipm, maker):
         jnp.asarray(ipm.bound_lo, ipm.dtype),
         jnp.asarray(ipm.bound_up, ipm.dtype),
         ipm.m, hp, with_m,
-        dd=bool(getattr(cones, "cone_dd", False)),
     )
     ok = bool(ok)
     times["maker_kkt"] = times.get("maker_kkt", 0.0) + _time.time() - t0
