@@ -45,7 +45,8 @@ print(f"[opfree] m={prob.m} n={max(prob.block_dims)} presolve "
 STATE = f"/tmp/opfree_{n}_{edges}_state.npz"
 
 t0 = time.time()
-solver = HDSDPSolver(prob)
+_tl = float(os.environ.get("HDSDP_OPFREE_TL", "0"))
+solver = HDSDPSolver(prob, **({"time_limit": _tl} if _tl > 0 else {}))
 if os.path.exists(STATE) and os.environ.get("OPFREE_RESUME"):
     # resume the post-solve DIMACS check from a saved end state (the
     # flaky remote-compile pipeline can kill the one-time check

@@ -310,6 +310,26 @@ def _chol_solve_ladder(M, rhs):
     return ok, x
 
 
+def _dd_solve_checked(M, rhs):
+    """TPU fast path for the check-time dense solve: DD blocked MXU
+    factor (ops.ddchol, ~2^-45) + refinement sweeps against the ORIGINAL
+    f64 M to the backward-stable floor — the same exactness the f64
+    ladder's solve delivers, because the refinement residual is computed
+    against the true M (only the FACTOR backend moves off XLA's emulated
+    f64 Cholesky, which runs ~100-300 s at m=10648 where the DD factor
+    takes ~1.5 s; round-5 torus-22 check ledger).  Returns dy or None
+    (factor failure / refinement stall -> caller falls back)."""
+    from hdsdp_tpu.ops import cg as cg_ops
+
+    acg = cg_ops.AdaptiveCG()
+    if not acg._factor(M, f32=False):
+        return None
+    X, status, _ = acg._refine_dd(M, rhs[:, None])
+    if status != cg_ops.STATUS_OK:
+        return None
+    return X[:, 0]
+
+
 def _solve_maker_dy(ipm, Us, sbar_lp, M, d_bound, rhs):
     """dy from the check-time KKT: dense Cholesky when M exists, else
     matrix-free CG (operator mode) — with a fresh chunk-materialized f32
@@ -317,6 +337,12 @@ def _solve_maker_dy(ipm, Us, sbar_lp, M, d_bound, rhs):
     it (the Jacobi-only re-solve stalls at endgame conditioning, leaving
     err1/err5 at ~1e-6; the chol-PCG reaches the direct path's grade)."""
     if M is not None:
+        from hdsdp_tpu.ops.cg import use_dd_full_tier
+
+        if use_dd_full_tier(M.shape[0]):
+            dy = _dd_solve_checked(M, rhs)
+            if dy is not None:
+                return dy
         ok, dy = _chol_solve_ladder(M, rhs)
         return dy if bool(ok) else None
     cones = ipm.cones

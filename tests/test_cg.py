@@ -178,3 +178,26 @@ def test_refine_solve_hp_residual_matches_direct():
     # path's floor is kappa * n * eps64 — same order at this size)
     np.testing.assert_allclose(np.asarray(X) / scale, X_ref / scale,
                                atol=1e-7)
+
+
+def test_check_time_dd_solve_matches_f64_ladder(monkeypatch):
+    """The check-time DD fast path (dimacs._dd_solve_checked, round 5)
+    must agree with the f64 regularization ladder it short-circuits: the
+    refinement runs against the ORIGINAL f64 M, so the dy it returns is
+    direct-solve exact even though the factor backend is the ~2^-45 DD
+    blocked MXU factor (ref check semantics: hdsdp.c:771-933 computes
+    DIMACS from an exact dy)."""
+    from hdsdp_tpu.ops import cg as cg_mod
+    from hdsdp_tpu.solver import dimacs as dm
+
+    monkeypatch.setattr(cg_mod, "use_dd_full_tier", lambda m: True)
+    m = 96
+    M = _spd(m, seed=21, cond=1e9)
+    rhs = jnp.asarray(np.random.default_rng(22).normal(size=m))
+    dy = dm._dd_solve_checked(M, rhs)
+    assert dy is not None
+    ok, dy_ref = dm._chol_solve_ladder(M, rhs)
+    assert bool(ok)
+    scale = float(jnp.max(jnp.abs(dy_ref)))
+    np.testing.assert_allclose(np.asarray(dy) / scale,
+                               np.asarray(dy_ref) / scale, atol=1e-9)
