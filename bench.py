@@ -102,14 +102,25 @@ def _run_case(name: str):
     def run():
         return HDSDPSolver(prob, verbose=False, **overrides).optimize()
 
-    run()  # cold: compile + execute
-    t0 = time.time()
-    r = run()  # warm run 1
-    t1 = time.time() - t0
-    t0 = time.time()
-    r = run()  # warm run 2
-    t2 = time.time() - t0
-    t = min(t1, t2)  # min-of-2: rejects one-off tunnel-load spikes
+    n_warm = int(os.environ.get("HDSDP_BENCH_WARMS", "2"))
+    if n_warm <= 0:
+        # tightest budget tier: ONE run, measured.  With the persistent
+        # compile cache fully warm the "cold" run differs from a warm
+        # one only by cache loads (~seconds) — a slightly pessimistic
+        # measured number beats a stale line.
+        t0 = time.time()
+        r = run()
+        warms = [time.time() - t0]
+    else:
+        run()  # cold: compile + execute
+        t0 = time.time()
+        r = run()  # warm run 1
+        warms = [time.time() - t0]
+        if n_warm >= 2:
+            t0 = time.time()
+            r = run()  # warm run 2
+            warms.append(time.time() - t0)
+    t = min(warms)  # min-of-2: rejects one-off tunnel-load spikes
 
     dmax = float(max(r.dimacs))
     ok = (
@@ -129,7 +140,7 @@ def _run_case(name: str):
             "dimacs_max": float(f"{dmax:.3e}"),
             "iters": r.n_iters,
             "dobj": r.d_obj,
-            "warm_runs_s": [round(t1, 3), round(t2, 3)],
+            "warm_runs_s": [round(w, 3) for w in warms],
         }
     )
 
@@ -175,7 +186,19 @@ def main():
         # first (smallest) case always runs; later cases that do not fit
         # the remaining budget ALWAYS emit the stale-skip line instead
         # of starting and getting killed by the driver (BENCH_r04 rc=124).
+        # Middle tier (round 5): when cold+2-warm does not fit but a
+        # cache-warm cold + ONE warm run does, measure with a single
+        # warm run rather than emitting a stale line — this is how the
+        # flagship gets a driver-captured number inside a ~500 s window.
+        warm_tier = None  # None = full (cold + 2 warm)
         if name != cases[0] and remaining < min(est_cold, 3 * est_warm + 120):
+            if remaining >= 2 * est_warm + 90:
+                warm_tier = "1"  # cold + one warm run
+            elif remaining >= 1.3 * est_warm + 60:
+                warm_tier = "0"  # one measured run (cache-warm cold)
+        if name != cases[0] and warm_tier is None and remaining < min(
+            est_cold, 3 * est_warm + 120
+        ):
             _emit(
                 {
                     "metric": f"{name}_warm_solve_s_SKIPPED_budget",
@@ -189,10 +212,14 @@ def main():
             )
             continue
         try:
+            cenv = (
+                dict(env, HDSDP_BENCH_WARMS=warm_tier)
+                if warm_tier is not None else env
+            )
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--case", name],
                 timeout=max(60.0, remaining),
-                env=env,
+                env=cenv,
                 capture_output=True,
                 text=True,
             )
