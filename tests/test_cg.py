@@ -201,3 +201,17 @@ def test_check_time_dd_solve_matches_f64_ladder(monkeypatch):
     scale = float(jnp.max(jnp.abs(dy_ref)))
     np.testing.assert_allclose(np.asarray(dy) / scale,
                                np.asarray(dy_ref) / scale, atol=1e-9)
+
+
+def test_check_time_dd_solve_falls_back_on_indefinite(monkeypatch):
+    """A near-indefinite check-time system must not be silently solved
+    by the DD fast path: the factor fails, _dd_solve_checked returns
+    None, and the caller's f64 regularization ladder takes over."""
+    from hdsdp_tpu.ops import cg as cg_mod
+    from hdsdp_tpu.solver import dimacs as dm
+
+    monkeypatch.setattr(cg_mod, "use_dd_full_tier", lambda m: True)
+    m = 64
+    M = _spd(m, seed=31) - 5.0 * jnp.eye(m)  # indefinite
+    rhs = jnp.asarray(np.random.default_rng(32).normal(size=m))
+    assert dm._dd_solve_checked(M, rhs) is None
