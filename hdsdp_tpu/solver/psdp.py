@@ -359,7 +359,15 @@ class PSDPRefiner:
             # bound, further refinement buys nothing the gate can
             # measure.  Exit cleanly with the refined X; the gate decides.
             gap_rel = ipm.comp / (abs(ipm.p_obj_val) + abs(ipm.d_obj_val) + 1.0)
-            n_slow = n_slow + 1 if compl > 0.95 * comp_prev else 0
+            # "slow" means slower than halfway between the method's
+            # theoretical per-iteration contraction bound
+            # (1 - 1/sqrt(sum_dims)) and 1: at large blocks the bound
+            # itself approaches 1, and a fixed 0.95 misclassifies
+            # healthy geometric contraction as a stall (observed at
+            # m=25,001/n=700: flatten fired at rel gap 6.3e-05 while
+            # contraction sat exactly at the 0.962 bound)
+            slow_thresh = 0.5 * (1.0 + (1.0 - 1.0 / np.sqrt(sum_dims)))
+            n_slow = n_slow + 1 if compl > slow_thresh * comp_prev else 0
             if n_slow >= 8 and gap_rel < 1e-04:
                 ipm.log.info(
                     "Primal refinement has flattened inside the DIMACS "
