@@ -850,11 +850,20 @@ class DualIPM:
         X = ddchol.solve(fac, B)
         worst = None
         bscale = jnp.maximum(jnp.linalg.norm(B, axis=0), 1e-300)
-        for _ in range(3):
+        # sweep until converged or genuinely stalled (contraction per
+        # sweep is ~kappa * 2^-45; at endgame kappa a sweep contracts
+        # slowly but monotonically — a fixed 3-sweep cap abandoned a
+        # still-contracting refine at rel 3.8e-9 and paid the ~100-300 s
+        # raw-f64 ladder for the last decade, r5 torus-22 iter 48)
+        prev = None
+        for _ in range(10):
             R = B - M @ X
             worst = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
             if worst <= 1e-12:
                 return X
+            if prev is not None and worst > 0.7 * prev:
+                break  # stalled: more sweeps cannot reach acceptance
+            prev = worst
             X = X + ddchol.solve(fac, R)
         R = B - M @ X
         worst = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
