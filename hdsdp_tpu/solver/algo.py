@@ -861,7 +861,7 @@ class DualIPM:
             worst = float(jnp.max(jnp.linalg.norm(R, axis=0) / bscale))
             if worst <= 1e-12:
                 return X
-            if prev is not None and worst > 0.7 * prev:
+            if prev is not None and worst > 0.9 * prev:
                 break  # stalled: more sweeps cannot reach acceptance
             prev = worst
             X = X + ddchol.solve(fac, R)
